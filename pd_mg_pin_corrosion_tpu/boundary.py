@@ -1,0 +1,171 @@
+"""Boundary conditions as pure masked-array updates.
+
+TPU-native rewrite of the reference's 8 free functions (src/boundary.cpp).
+Neighbor averages ("extrapolate from fluid neighbors") become stencil-shift
+sums with dynamic node-type masks; the FNM wall mirror uses the static
+mirror-index table precomputed in grid.py.
+
+One deliberate semantic cleanup: the reference's outlet BC reads neighbor
+OUTLET values while other threads overwrite them (boundary.cpp:104-111, a
+benign data race under OpenMP). Here all reads are from the input snapshot,
+which is the race-free fixed point of the same update.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from .fields import State
+from .grid import FLUID, OUTLET, OUTSIDE, SOLID_MG
+from .kit import Kit
+
+
+def _shift_masked_sum(kit: Kit, value_p, pred_p):
+    """sum_s value_j * pred_j and count_s pred_j over all stencil slots.
+
+    ``value_p``/``pred_p`` are already-padded arrays; pred is 0/1 float.
+    """
+    total = None
+    count = None
+    for s, _, _, _ in kit.bond_iter():
+        pj = kit.shift(pred_p, s)
+        vj = kit.shift(value_p, s)
+        t = vj * pj
+        total = t if total is None else total + t
+        count = pj if count is None else count + pj
+    return total, count
+
+
+def apply_inlet_bc(state: State, kit: Kit) -> State:
+    """Prescribed Poiseuille velocity, rho extrapolated, fresh SBF C
+    (boundary.cpp:31-75)."""
+    cfg = kit.cfg
+    inlet = kit.inlet_mask
+
+    # velocity: axial Poiseuille, zero transverse
+    v_in = jnp.zeros_like(state.vel)
+    v_in = v_in.at[..., kit.axial_comp].set(kit.v_pois)
+    vel = jnp.where(inlet[..., None], v_in, state.vel)
+
+    # density: average over FLUID neighbors (dynamic mask), else rho_f
+    fluid = (state.node_type == FLUID).astype(kit.jdtype)
+    rho_p = kit.pad(state.rho, 0.0)
+    fl_p = kit.pad(fluid, 0.0)
+    tot, cnt = _shift_masked_sum(kit, rho_p, fl_p)
+    rho_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), cfg.rho_f)
+    rho = jnp.where(inlet, rho_avg, state.rho)
+
+    C = jnp.where(inlet, cfg.C_liquid_init, state.C)
+    return replace(state, vel=vel, rho=rho, C=C)
+
+
+def apply_outlet_bc(state: State, kit: Kit) -> State:
+    """Pressure outlet: rho=rho_f (=> p=0), zero-gradient v (axial only) and C
+    (boundary.cpp:88-131)."""
+    cfg = kit.cfg
+    outlet = kit.outlet_mask
+    ax = kit.axial_comp
+
+    rho = jnp.where(outlet, cfg.rho_f, state.rho)
+
+    pred = ((state.node_type == FLUID) | (state.node_type == OUTLET)).astype(kit.jdtype)
+    pred_p = kit.pad(pred, 0.0)
+
+    vax_p = kit.pad(state.vel[..., ax], 0.0)
+    v_tot, cnt = _shift_masked_sum(kit, vax_p, pred_p)
+    C_tot, _ = _shift_masked_sum(kit, kit.pad(state.C, 0.0), pred_p)
+
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    v_ax = jnp.where(cnt > 0, v_tot / safe_cnt, cfg.U_in)
+    C_avg = jnp.where(cnt > 0, C_tot / safe_cnt, 0.0)
+
+    v_out = jnp.zeros_like(state.vel).at[..., ax].set(v_ax)
+    vel = jnp.where(outlet[..., None], v_out, state.vel)
+    C = jnp.where(outlet, C_avg, state.C)
+    return replace(state, rho=rho, vel=vel, C=C)
+
+
+def _wall_mirror(state: State, kit: Kit, rho, vel):
+    """Shared FNM mirror application (boundary.cpp:143-294).
+
+    Velocity antisymmetric (no-slip), density symmetric; fallback (no mirror
+    source) pins vel=0, rho=rho_f.
+    """
+    cfg = kit.cfg
+    wall = kit.wall_mask
+    midx = kit.mirror_flat
+    has_mirror = (midx >= 0).reshape(kit.shape)
+    gather_idx = jnp.maximum(midx, 0)
+
+    rho_m = rho.reshape(-1)[gather_idx].reshape(kit.shape)
+    vel_m = vel.reshape(-1, kit.dim)[gather_idx].reshape(kit.shape + (kit.dim,))
+
+    rho_w = jnp.where(has_mirror, rho_m, cfg.rho_f)
+    vel_w = jnp.where(has_mirror[..., None], -vel_m, 0.0)
+
+    rho_out = jnp.where(wall, rho_w, rho)
+    vel_out = jnp.where(wall[..., None], vel_w, vel)
+    return rho_out, vel_out
+
+
+def apply_wall_bc(state: State, kit: Kit) -> State:
+    rho, vel = _wall_mirror(state, kit, state.rho, state.vel)
+    return replace(state, rho=rho, vel=vel)
+
+
+def apply_wall_concentration_bc(state: State, kit: Kit) -> State:
+    """Neumann zero-gradient C at tube walls (boundary.cpp:302-321)."""
+    wall = kit.wall_mask
+    fluid = (state.node_type == FLUID).astype(kit.jdtype)
+    tot, cnt = _shift_masked_sum(kit, kit.pad(state.C, 0.0), kit.pad(fluid, 0.0))
+    C_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), 0.0)
+    C = jnp.where(wall, C_avg, state.C)
+    return replace(state, C=C)
+
+
+def smooth_boundary_concentration(state: State, kit: Kit) -> State:
+    """Replace C of FLUID nodes within delta of inlet/outlet by the interior-
+    side fluid-neighbor average (boundary.cpp:332-376).
+
+    The interior-side test (y_j vs y_i) is static per stencil slot: the
+    neighbor's axial offset sign decides it.
+    """
+    fluid = state.node_type == FLUID
+    fluid_f = fluid.astype(kit.jdtype)
+    C_p = kit.pad(state.C, 0.0)
+    fl_p = kit.pad(fluid_f, 0.0)
+
+    near_in = kit.near_inlet_mask & fluid
+    near_out = kit.near_outlet_mask & fluid
+
+    # axial array axis: 0 in 2D ([Ny, Nx] -> y first), 0 in 3D ([Nz, Ny, Nx] -> z first)
+    ax_axis = 0
+    zero = jnp.zeros(kit.shape, kit.jdtype)
+    tot = zero
+    cnt = zero
+    for s, _, _, _ in kit.bond_iter():
+        d_ax = kit.offsets[s][ax_axis]
+        if d_ax == 0:
+            continue
+        fj = kit.shift(fl_p, s)
+        Cj = kit.shift(C_p, s)
+        if d_ax > 0:   # neighbor deeper toward outlet -> usable near inlet
+            sel = jnp.where(near_in, fj, 0.0)
+        else:          # neighbor deeper toward inlet -> usable near outlet
+            sel = jnp.where(near_out, fj, 0.0)
+        tot = tot + Cj * sel
+        cnt = cnt + sel
+
+    C_sm = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), state.C)
+    C = jnp.where((near_in | near_out) & (cnt > 0), C_sm, state.C)
+    return replace(state, C=C)
+
+
+def apply_solid_surface_bc(state: State, kit: Kit) -> State:
+    """Zero velocity on the Mg pin (boundary.cpp:381-390)."""
+    solid = state.node_type == SOLID_MG
+    vel = jnp.where(solid[..., None], 0.0, state.vel)
+    return replace(state, vel=vel)

@@ -1,0 +1,222 @@
+"""Simulation configuration.
+
+Byte-compatible parser for the reference ``key = value`` config format
+(reference: src/config.cpp:16-96) with the same ~45 keys, defaults
+(src/config.h:4-94) and derived quantities (src/config.cpp:98-112).
+
+Extensions over the reference (all optional keys; absent from reference
+configs, so parsing those stays byte-identical):
+
+* ``dim``              — spatial dimension (2 or 3). The reference bakes this
+                         in at compile time via ``-DPD_DIM``; here it is a
+                         runtime switch.
+* ``precision``        — "f32" (TPU-fast) or "f64" (parity/validation).
+* ``checkpoint_every`` — write an orbax/npz checkpoint every N coupling
+                         cycles (0 = off). New capability (reference has no
+                         checkpoint/resume, see SURVEY §5).
+* ``resume_from``      — checkpoint directory/file to resume from.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+from dataclasses import dataclass, field
+
+PI = math.pi
+
+
+@dataclass
+class Config:
+    # Grid
+    dx: float = 5.0e-6
+    m_ratio: int = 3
+
+    # Geometry [m]
+    R_wire: float = 40.0e-6
+    L_wire: float = 400.0e-6
+    R_tube: float = 150.0e-6
+    L_upstream: float = 80.0e-6
+    L_downstream: float = 80.0e-6
+
+    # Fluid
+    rho_f: float = 1000.0
+    mu_f: float = 1.0e-3
+    gamma_eos: float = 7.0
+    c0: float = 0.5
+    eta_density: float = 0.1
+
+    # Flow
+    Q_flow: float = 1.667e-8
+
+    # Mg solid
+    rho_m: float = 1738.0
+
+    # Transport — bi-material PD diffusion model
+    D_liquid: float = 1.0e-9
+    D_grain: float = 5.0e-11
+    D_gb: float = 5.0e-9
+    D_precip: float = 5.0e-15
+    precip_fraction: float = 0.05
+    C_solid_init: float = 1.0
+    C_liquid_init: float = 0.0
+    C_thresh: float = 0.2
+    C_sat: float = 0.9
+    alpha_art_diff: float = 0.1
+    corrosion_decay_l: float = 0.0
+
+    # Grain structure
+    grain_size_mean: float = 40.0e-6
+    grain_size_std: float = 5.0e-6  # parsed but unused (matches reference)
+    gb_width_cells: int = 1
+    precip_cluster_cells: int = 0
+
+    # Time stepping
+    cfl_factor: float = 0.25
+    cfl_factor_corr: float = 0.25
+
+    # Coupling
+    flow_max_iters: int = 50000
+    flow_conv_tol: float = 5.0e-6
+    T_final: float = 32400.0
+    corrosion_steps_per_check: int = 200
+    output_every_flow: int = 2000
+    output_every_corr: int = 100
+    output_dir: str = "output"
+
+    # Implicit ARD solver
+    use_implicit: int = 1
+    implicit_dt_fraction: float = 0.5
+    implicit_dt_max: float = 60.0
+    implicit_output_every: int = 10
+    diagnostic_every: int = 1
+
+    # Legacy Newton keys (dead in reference too; kept for .cfg compatibility,
+    # see src/config.h:79-80 and SURVEY "What NOT to carry over")
+    newton_tol: float = 1.0e-8
+    newton_max_iter: int = 20
+
+    # Channel flow corrections (Poiseuille validation only)
+    channel_flow_corrections: int = 0
+
+    # AMR
+    use_amr: int = 0
+    amr_ratio: int = 3
+    amr_buffer: float = 50.0e-6
+
+    # ---- extensions (not present in reference configs) ----
+    dim: int = 2
+    precision: str = "f32"
+    checkpoint_every: int = 0
+    resume_from: str = ""
+
+    # Derived (computed by compute_derived)
+    delta: float = field(default=0.0)
+    U_in: float = field(default=0.0)
+    dx_coarse: float = field(default=0.0)
+    delta_coarse: float = field(default=0.0)
+
+    # ------------------------------------------------------------------
+
+    def compute_derived(self) -> "Config":
+        """Derived quantities (reference: src/config.cpp:98-112)."""
+        self.delta = self.m_ratio * self.dx
+        self.dx_coarse = self.amr_ratio * self.dx
+        self.delta_coarse = self.m_ratio * self.dx_coarse
+        # Inlet velocity from volumetric flow rate through circular tube.
+        self.U_in = self.Q_flow / (PI * self.R_tube * self.R_tube)
+        # Weakly compressible safeguard: c0 >= 25 * U_in (Ma^2 < 0.002).
+        if self.c0 < 25.0 * self.U_in:
+            self.c0 = 25.0 * self.U_in
+            print(f"NOTE: Increased c0 to {self.c0:.4e} (25x U_in) for stability.")
+        return self
+
+    # ------------------------------------------------------------------
+
+    _INT_KEYS = frozenset(
+        {
+            "m_ratio", "gb_width_cells", "precip_cluster_cells",
+            "flow_max_iters", "corrosion_steps_per_check",
+            "output_every_flow", "output_every_corr", "use_implicit",
+            "implicit_output_every", "diagnostic_every", "newton_max_iter",
+            "channel_flow_corrections", "use_amr", "amr_ratio",
+            "dim", "checkpoint_every",
+        }
+    )
+    _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})
+
+    @classmethod
+    def load(cls, filename: str) -> "Config":
+        """Parse a ``key = value`` config file (reference: src/config.cpp:16-96).
+
+        Strips ``#`` comments, trims whitespace, warns on unknown keys, and
+        falls back to defaults (with a warning) when the file is missing.
+        """
+        cfg = cls()
+        known = {f.name for f in dataclasses.fields(cls)}
+        try:
+            fh = open(filename, "r")
+        except OSError:
+            print(
+                f"Warning: Cannot open config file '{filename}', using defaults.",
+                file=sys.stderr,
+            )
+            return cfg.compute_derived()
+
+        with fh:
+            for line in fh:
+                hash_pos = line.find("#")
+                if hash_pos != -1:
+                    line = line[:hash_pos]
+                line = line.strip()
+                if not line:
+                    continue
+                eq = line.find("=")
+                if eq == -1:
+                    continue
+                key = line[:eq].strip()
+                val = line[eq + 1 :].strip()
+                if not key or not val:
+                    continue
+                if key not in known or key in ("delta", "U_in", "dx_coarse", "delta_coarse"):
+                    print(f"Warning: Unknown config key '{key}'", file=sys.stderr)
+                    continue
+                if key in cls._STR_KEYS:
+                    setattr(cfg, key, val)
+                elif key in cls._INT_KEYS:
+                    setattr(cfg, key, int(float(val)))
+                else:
+                    setattr(cfg, key, float(val))
+
+        return cfg.compute_derived()
+
+    # ------------------------------------------------------------------
+
+    def print(self) -> None:
+        """Pretty-print the configuration (reference: src/config.cpp:114-139)."""
+        c = self
+        print("=== Configuration ===")
+        print(f"  DIM          = {c.dim}")
+        print(f"  dx           = {c.dx:.2e} m")
+        print(f"  delta        = {c.delta:.2e} m (m={c.m_ratio})")
+        print(f"  R_wire       = {c.R_wire:.2e} m")
+        print(f"  L_wire       = {c.L_wire:.2e} m")
+        print(f"  R_tube       = {c.R_tube:.2e} m")
+        print(f"  U_in         = {c.U_in:.4e} m/s")
+        print(f"  rho_f        = {c.rho_f:.1f} kg/m3")
+        print(f"  mu_f         = {c.mu_f:.2e} Pa.s")
+        print(f"  Re_wire      = {c.rho_f * c.U_in * 2.0 * c.R_wire / c.mu_f:.2f}")
+        print(f"  c0           = {c.c0:.2f} m/s (Mach ~ {c.U_in / c.c0:.4f})")
+        print(f"  D_liquid     = {c.D_liquid:.2e} m2/s")
+        print(f"  D_grain      = {c.D_grain:.2e} m2/s")
+        print(f"  D_gb         = {c.D_gb:.2e} m2/s")
+        print(f"  D_precip     = {c.D_precip:.2e} m2/s")
+        print(f"  precip_frac  = {c.precip_fraction:.3f}")
+        print(f"  precip_clust = {c.precip_cluster_cells} cells")
+        decay = "" if c.corrosion_decay_l > 0 else " (disabled)"
+        print(f"  corr_decay_l = {c.corrosion_decay_l:.3f}{decay}")
+        print(f"  C_sat        = {c.C_sat:.2f}")
+        print(f"  T_final      = {c.T_final:.1f} s ({c.T_final / 3600.0:.2f} h)")
+        print(f"  output_dir   = {c.output_dir}")
+        print("=====================\n")

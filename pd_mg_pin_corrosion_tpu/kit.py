@@ -1,0 +1,164 @@
+"""Device-side simulation kit: static masks, stencil constants, shift ops.
+
+This is the TPU-native replacement for the reference's CSR neighbor arrays
+(src/grid.h:36-40): because every node of the uniform lattice shares the
+same offset stencil, a PD bond sum over neighbors is a sum over S *shifted
+copies* of a dense field array. Shifting = static slicing of a padded
+array, which XLA fuses into one stencil loop — no gathers, no indices in
+memory, and under jax.sharding the pads/slices lower to halo exchanges.
+
+The Kit is a pytree whose array leaves (masks, profiles, mirror tables) are
+traced and whose stencil geometry / config scalars are static metadata, so
+every physics function can simply be ``jax.jit``-ed with the Kit as a
+regular argument.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .fields import poiseuille_axial
+from .grid import (FLUID, INLET, OUTLET, OUTSIDE, SOLID_MG, WALL, Grid)
+
+PI = math.pi
+
+
+def _hash_cfg(self):
+    import dataclasses as _dc
+    return hash(tuple(getattr(self, f.name) for f in _dc.fields(self)))
+
+
+Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
+        "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
+        "initial_solid_mask",
+    ],
+    meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
+                 "vol", "dtype"],
+)
+@dataclass(frozen=True)
+class Kit:
+    # --- traced device constants ---
+    inlet_mask: jax.Array        # [*S] bool (static node types — never change)
+    outlet_mask: jax.Array       # [*S] bool
+    wall_mask: jax.Array         # [*S] bool
+    outside_mask: jax.Array      # [*S] bool
+    near_inlet_mask: jax.Array   # [*S] bool — FLUID-classified region within
+    near_outlet_mask: jax.Array  #   delta of the axial domain ends (boundary.cpp:332-352)
+    v_pois: jax.Array            # [*S] analytic Poiseuille axial velocity
+    mirror_flat: jax.Array       # [N] int32 flat mirror source (-1 -> none)
+    initial_solid_mask: jax.Array  # [*S] bool — for volume-loss diagnostics
+
+    # --- static metadata ---
+    cfg: Config
+    dim: int
+    shape: tuple
+    mext: int
+    offsets: tuple   # S x dim int tuples, array-axis order
+    dist: tuple      # S floats
+    evec: tuple      # S x dim float tuples, coordinate order (x, y[, z])
+    vol: tuple       # S floats (beta * dx^dim)
+    dtype: str       # 'float32' | 'float64'
+
+    # ------------------------------------------------------------------
+    @property
+    def S(self) -> int:
+        return len(self.dist)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def axial_comp(self) -> int:
+        """Velocity component index of the axial direction."""
+        return self.dim - 1
+
+    @property
+    def alpha(self) -> float:
+        """PD divergence constant alpha = DIM (pd_ns.cpp:8)."""
+        return float(self.dim)
+
+    @property
+    def V_H(self) -> float:
+        """Horizon volume (pd_ns.cpp:10-15)."""
+        d = self.cfg.delta
+        return PI * d * d if self.dim == 2 else (4.0 / 3.0) * PI * d**3
+
+    @property
+    def beta_lap(self) -> float:
+        """PD Laplacian constant (pd_ns.cpp:10-15)."""
+        d = self.cfg.delta
+        return 4.0 / (PI * d * d) if self.dim == 2 else 12.0 / (PI * d * d)
+
+    # ------------------------------------------------------------------
+    def pad(self, A: jax.Array, fill) -> jax.Array:
+        """Pad the spatial axes by mext with a constant fill value."""
+        ndim_sp = len(self.shape)
+        pads = [(self.mext, self.mext)] * ndim_sp + [(0, 0)] * (A.ndim - ndim_sp)
+        return jnp.pad(A, pads, constant_values=fill)
+
+    def shift(self, Ap: jax.Array, s: int) -> jax.Array:
+        """Slot-s neighbor view of a padded array (a static slice)."""
+        off = self.offsets[s]
+        idx = tuple(
+            slice(self.mext + o, self.mext + o + n)
+            for o, n in zip(off, self.shape)
+        )
+        return Ap[idx]
+
+    def bond_iter(self):
+        """Iterate (s, dist, evec, vol) over stencil slots in reference order."""
+        return zip(range(self.S), self.dist, self.evec, self.vol)
+
+
+def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
+    if dtype is None:
+        dtype = "float64" if cfg.precision == "f64" else "float32"
+
+    nt = grid.node_type
+    v_pois = poiseuille_axial(cfg, grid.pos)
+
+    # near-inlet / near-outlet bands for smooth_boundary_concentration
+    # (boundary.cpp:337-352). Geometric, static; the dynamic FLUID check is
+    # applied at use time.
+    ax = grid.axial_axis
+    y = grid.pos[..., ax]
+    y_min_fluid = -cfg.L_upstream
+    y_max_fluid = cfg.L_wire + cfg.L_downstream
+    near_inlet = (y - y_min_fluid) < cfg.delta
+    near_outlet = (y_max_fluid - y) < cfg.delta
+
+    st = grid.stencil
+    return Kit(
+        inlet_mask=jnp.asarray(nt == INLET),
+        outlet_mask=jnp.asarray(nt == OUTLET),
+        wall_mask=jnp.asarray(nt == WALL),
+        outside_mask=jnp.asarray(nt == OUTSIDE),
+        near_inlet_mask=jnp.asarray(near_inlet),
+        near_outlet_mask=jnp.asarray(near_outlet),
+        v_pois=jnp.asarray(v_pois, jnp.dtype(dtype)),
+        mirror_flat=jnp.asarray(grid.mirror_idx.ravel(), jnp.int32),
+        initial_solid_mask=jnp.asarray(nt == SOLID_MG),
+        cfg=cfg,
+        dim=grid.dim,
+        shape=grid.shape,
+        mext=grid.m + 1,
+        offsets=tuple(tuple(int(v) for v in row) for row in st.offsets),
+        dist=tuple(float(v) for v in st.dist),
+        evec=tuple(tuple(float(v) for v in row) for row in st.evec),
+        vol=tuple(float(v) for v in st.vol),
+        dtype=dtype,
+    )

@@ -1,0 +1,144 @@
+"""Steady-state flow solve as an on-device ``lax.while_loop``.
+
+Rewrite of PD_NS_Solver::solve_steady (src/pd_ns.cpp:182-372) preserving the
+reference's exact cadence: convergence/divergence checks on the first 10
+iterations and every 100th thereafter, convergence requires iter > 100,
+velocity-blowup guard at 100x U_in, dt refresh every 200 iterations, and the
+early exit keeps the *pre-step* (BC-applied) buffers — the reference breaks
+before swap_buffers (pd_ns.cpp:318-325).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .boundary import (apply_inlet_bc, apply_outlet_bc, apply_solid_surface_bc,
+                       apply_wall_bc)
+from .fields import State
+from .grid import FLUID
+from .kit import Kit
+from .ops.ns import compute_dt, ns_step, tait_pressure
+
+
+def _channel_flow_corrections(state: State, kit: Kit) -> State:
+    """Poiseuille-validation-only corrections (pd_ns.cpp:209-270): zero
+    transverse velocity and cross-sectionally averaged density on FLUID."""
+    fluid = state.node_type == FLUID
+    ax = kit.axial_comp
+
+    vel = state.vel
+    for d in range(kit.dim):
+        if d == ax:
+            continue
+        vel = vel.at[..., d].set(jnp.where(fluid, 0.0, vel[..., d]))
+
+    # cross-sectional rho averaging: average over all non-axial array axes
+    # (2D: per row j over x; 3D: per k-plane over (y, x))
+    fl = fluid.astype(kit.jdtype)
+    red_axes = tuple(range(1, len(kit.shape)))  # axial array axis is 0
+    rho_sum = jnp.sum(state.rho * fl, axis=red_axes, keepdims=True)
+    cnt = jnp.sum(fl, axis=red_axes, keepdims=True)
+    rho_avg = jnp.where(cnt > 0, rho_sum / jnp.maximum(cnt, 1.0), 0.0)
+    rho = jnp.where(fluid & (cnt > 0), rho_avg, state.rho)
+    return replace(state, vel=vel, rho=rho)
+
+
+def _select(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@partial(jax.jit, static_argnames=("collect_stats",))
+def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
+    """Run the flow solver to steady state entirely on device.
+
+    Returns (state, iters, eps, converged, diverged). ``iters`` is the
+    reference's loop variable at exit (last executed iteration on break,
+    flow_max_iters + 1 on exhaustion).
+    """
+    cfg = kit.cfg
+    dt0 = compute_dt(state, kit)
+
+    def pre_bcs(st):
+        st = apply_inlet_bc(st, kit)
+        st = apply_outlet_bc(st, kit)
+        st = apply_wall_bc(st, kit)
+        st = apply_solid_surface_bc(st, kit)
+        return st
+
+    def cond(carry):
+        _, it, _, _, conv, div = carry
+        return (it <= cfg.flow_max_iters) & ~conv & ~div
+
+    def body(carry):
+        st, it, eps, dt, conv, div = carry
+
+        st_bc = pre_bcs(st)
+        st_new = ns_step(st_bc, kit, dt)
+        st_new = apply_wall_bc(st_new, kit)  # wall BC on new buffers (pd_ns.cpp:205)
+        if cfg.channel_flow_corrections:
+            st_new = _channel_flow_corrections(st_new, kit)
+
+        # --- convergence / divergence check (pd_ns.cpp:273-322) ---
+        do_check = (it <= 10) | (it % 100 == 0)
+        fluid = st_bc.node_type == FLUID
+        dv = st_new.vel - st_bc.vel
+        num = jnp.sum(jnp.where(fluid[..., None], dv * dv, 0.0))
+        den = jnp.sum(jnp.where(fluid[..., None], st_bc.vel * st_bc.vel, 0.0))
+        eps_new = jnp.where(den > 1e-30, jnp.sqrt(num / jnp.maximum(den, 1e-300)),
+                            jnp.sqrt(num))
+        vmag = jnp.linalg.norm(st_new.vel, axis=-1)
+        v_max_new = jnp.max(jnp.where(fluid, vmag, 0.0))
+        has_nan = jnp.any(jnp.where(fluid[..., None], jnp.isnan(st_new.vel), False)) | \
+            jnp.any(jnp.where(fluid, jnp.isnan(st_new.rho), False))
+
+        div_new = do_check & (has_nan | (v_max_new > 100.0 * cfg.U_in))
+        conv_new = do_check & (eps_new < cfg.flow_conv_tol) & (it > 100)
+        eps = jnp.where(do_check, eps_new, eps)
+        done = div_new | conv_new
+
+        # on break the reference keeps the pre-step buffers (break before swap)
+        st_next = _select(done, st_bc, st_new)
+
+        # dt refresh every 200 iterations (pd_ns.cpp:331-333)
+        refresh = (it % 200 == 0) & ~done
+        dt_next = jnp.where(refresh, compute_dt(st_next, kit), dt)
+
+        return (st_next, it + 1, eps, dt_next, conv_new, div_new)
+
+    init = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype), dt0,
+            jnp.asarray(False), jnp.asarray(False))
+    st, it, eps, _, conv, div = jax.lax.while_loop(cond, body, init)
+
+    # exit bookkeeping: broken iterations report the iteration that broke
+    iters = jnp.where(conv | div, it - 1, it)
+    st = replace(st, pressure=tait_pressure(st.rho, kit))
+    return st, iters, eps, conv, div
+
+
+def poiseuille_l2_error(state: State, grid, cfg) -> float:
+    """Poiseuille validation at the upstream station (pd_ns.cpp:341-368).
+
+    2D only, matching the reference. Returns the relative L2 error, or NaN
+    when no sample nodes exist.
+    """
+    import numpy as np
+
+    y_check = -cfg.L_upstream / 2.0
+    nt = np.asarray(state.node_type)
+    vel = np.asarray(state.vel)
+    py = grid.pos[..., 1]
+    px = grid.pos[..., 0]
+
+    sel = (nt == FLUID) & (np.abs(py - y_check) <= 0.6 * cfg.dx)
+    r_norm = px / cfg.R_tube
+    sel &= np.abs(r_norm) <= 1.0
+    if not sel.any():
+        return float("nan")
+    v_ana = 1.5 * cfg.U_in * (1.0 - r_norm[sel] ** 2)
+    v_num = vel[..., 1][sel]
+    err = np.sqrt(np.sum((v_num - v_ana) ** 2) / np.maximum(np.sum(v_ana**2), 1e-30))
+    return float(err)
