@@ -1,0 +1,63 @@
+"""CLI entry point — mirrors the reference binary (src/main.cpp:129-177):
+
+    python -m pd_mg_pin_corrosion_tpu [params.cfg]
+
+Loads the config (default config/params.cfg), builds grid + grains + state,
+and runs the coupled solver.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+
+    print("=== Peridynamic Mg-Pin Corrosion Simulation (TPU-native) ===")
+
+    from .config import Config
+    cfg = Config.load(argv[0] if argv else "config/params.cfg")
+    print(f"  Dimension: {cfg.dim}D\n")
+    cfg.print()
+
+    t0 = time.time()
+
+    import jax
+    if cfg.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    print("Building grid...")
+    if cfg.use_amr:
+        from .amr import build_amr_grid
+        grid = build_amr_grid(cfg)
+    else:
+        from .grid import build_grid
+        grid = build_grid(cfg)
+        counts = grid.type_counts()
+        print(f"Grid: Nx={grid.Nx} Ny={grid.Ny} Nz={grid.Nz}  N_total={grid.N_total}")
+        print("Node types: " + " ".join(f"{k}={v}" for k, v in counts.items()))
+
+    print("Generating grain structure...")
+    from . import grains as grains_mod
+    grains = grains_mod.generate(grid, cfg)
+
+    print("Initializing fields...")
+    from .fields import initialize_state
+    from .kit import build_kit
+    import jax.numpy as jnp
+
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, grains=grains, dtype=kit.jdtype)
+
+    print(f"  [Timer] initialization: {time.time() - t0:.3f} s")
+
+    from .coupling import CoupledSolver
+    solver = CoupledSolver()
+    solver.run(grid, state, kit, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

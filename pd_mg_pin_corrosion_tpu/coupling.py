@@ -1,0 +1,289 @@
+"""Coupled corrosion driver: flow steady solves + ARD stepping + phase change.
+
+Rewrite of CoupledSolver::run (src/coupling.cpp:82-302). Structure preserved:
+
+* Phase 1 — flow re-solve only when dissolution changed the geometry
+  (``need_flow_solve``), entirely on device via lax.while_loop.
+* Phase 2 — corrosion with frozen velocity. Implicit path: operator
+  (re)assembled once per cycle, adaptive dt per step, early exit at the
+  first node crossing C_thresh. Explicit path: fixed dt, fused device chunks
+  between output points.
+* Phase 3 — phase change as a device-side remask; NO neighbor rebuild
+  (the reference's full CSR rebuild at coupling.cpp:267-271 recreates
+  byte-identical topology — here bond masks are recomputed from node_type
+  every step, so the rebuild is structurally unnecessary).
+
+Diagnostics CSVs are schema-identical to the reference
+(coupling.cpp:55-80): diagnostics.csv
+``time_s,time_h,pin_mass_loss_pct,solid_nodes,v_max,C_max_fluid`` and
+mass_loss.csv ``time_h,pin_mass_loss_pct``.
+
+New capability vs the reference: checkpoint/resume (cfg.checkpoint_every /
+cfg.resume_from; the reference has none — SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boundary import (apply_inlet_bc, apply_outlet_bc,
+                       apply_wall_concentration_bc,
+                       smooth_boundary_concentration)
+from .fields import State
+from .grid import FLUID, SOLID_MG
+from .kit import Kit
+from .io_vtk import VTKWriter
+from .ops import ard_implicit as ai
+from .ops.ard import apply_phase_change, ard_step
+from .ops.ard import compute_dt as ard_compute_dt
+from .solvers import solve_steady
+
+
+# ---------------------------------------------------------------------------
+# Device-side diagnostics (coupling.cpp:20-53)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def diagnostics(state: State, kit: Kit):
+    """(pin_mass_loss_pct, solid_nodes, v_max, C_max_fluid)."""
+    init_solid = kit.initial_solid_mask
+    n0 = jnp.sum(init_solid.astype(kit.jdtype))
+    C_solid_sum = jnp.sum(jnp.where(init_solid, state.C, 0.0))
+    loss = jnp.maximum((1.0 - C_solid_sum / (n0 + 1e-30)) * 100.0, 0.0)
+
+    solid_count = jnp.sum((state.node_type == SOLID_MG).astype(jnp.int32))
+    fluid = state.node_type == FLUID
+    vmag = jnp.linalg.norm(state.vel, axis=-1)
+    v_max = jnp.max(jnp.where(fluid, vmag, 0.0))
+    C_max = jnp.max(jnp.where(fluid, state.C, 0.0))
+    return loss, solid_count, v_max, C_max
+
+
+@jax.jit
+def volume_loss_fraction(state: State, kit: Kit):
+    """Normalized volume loss over initially-solid nodes (coupling.cpp:157-163)."""
+    init_solid = kit.initial_solid_mask
+    n0 = jnp.sum(init_solid.astype(kit.jdtype))
+    C_solid_sum = jnp.sum(jnp.where(init_solid, state.C, 0.0))
+    return jnp.maximum(1.0 - C_solid_sum / (n0 + 1e-30), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused inner steps
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def implicit_inner_step(state: State, op: ai.ImplicitOperator, kit: Kit):
+    """One implicit corrosion step: adaptive dt -> BCs -> GMRES -> smoothing
+    -> dissolution flag + diagnostics (coupling.cpp:174-212)."""
+    dt = ai.compute_adaptive_dt(state, op, kit)
+    state = apply_inlet_bc(state, kit)
+    state = apply_outlet_bc(state, kit)
+    state = apply_wall_concentration_bc(state, kit)
+    state, res = ai.implicit_step(state, op, kit, dt)
+    state = smooth_boundary_concentration(state, kit)
+
+    dissolved_any = jnp.any(
+        (state.node_type == SOLID_MG) & (state.C < kit.cfg.C_thresh)
+    )
+    diag = diagnostics(state, kit)
+    return state, dt, dissolved_any, res, diag
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def explicit_chunk(state: State, kit: Kit, dt, vol_loss, n_steps: int):
+    """n explicit corrosion steps fused on device (coupling.cpp:232-252)."""
+
+    def body(s, _):
+        s = apply_inlet_bc(s, kit)
+        s = apply_outlet_bc(s, kit)
+        s = apply_wall_concentration_bc(s, kit)
+        s = ard_step(s, kit, dt, vol_loss)
+        return s, None
+
+    state, _ = jax.lax.scan(body, state, length=n_steps)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+class CoupledSolver:
+    def __init__(self):
+        self.writer = VTKWriter()
+        self.flow_writer = VTKWriter()
+        self.frame_count = 0
+        self.total_implicit_steps = 0
+        self.total_dissolved = 0
+        self.dissolved_since_flow = 0
+
+    # ------------------------------------------------------------------
+    def _filename(self, cfg, prefix, time_s):
+        ext = ".vtu" if cfg.use_amr else ".vti"
+        return f"{cfg.output_dir}/{prefix}_{self.frame_count:06d}_t{time_s:.1f}s{ext}"
+
+    def _write_state(self, cfg, grid, state, prefix, t, pvd_writer):
+        fname = self._filename(cfg, prefix, t)
+        if cfg.use_amr:
+            self.writer.write_vtu(fname, grid, state, cfg)
+        else:
+            self.writer.write(fname, grid, state, cfg)
+        pvd_writer.add_timestep(t, fname)
+        self.frame_count += 1
+
+    def _init_csv(self, cfg):
+        with open(f"{cfg.output_dir}/diagnostics.csv", "w") as f:
+            f.write("time_s,time_h,pin_mass_loss_pct,solid_nodes,v_max,C_max_fluid\n")
+        with open(f"{cfg.output_dir}/mass_loss.csv", "w") as f:
+            f.write("time_h,pin_mass_loss_pct\n")
+
+    def _write_diagnostics(self, cfg, t, diag):
+        loss, solid, v_max, C_max = (float(diag[0]), int(diag[1]),
+                                     float(diag[2]), float(diag[3]))
+        print(f"  t={t:.1f} s ({t / 3600.0:.2f} h)  pin_mass_loss={loss:.2f}%  "
+              f"solid={solid}  v_max={v_max:.3e}  C_max_fluid={C_max:.4f}")
+        with open(f"{cfg.output_dir}/diagnostics.csv", "a") as f:
+            f.write(f"{t:.6e},{t / 3600.0:.6e},{loss:.6e},{solid},"
+                    f"{v_max:.6e},{C_max:.6e}\n")
+        with open(f"{cfg.output_dir}/mass_loss.csv", "a") as f:
+            f.write(f"{t / 3600.0:.6f},{loss:.6f}\n")
+
+    # ------------------------------------------------------------------
+    def run(self, grid, state: State, kit: Kit, cfg) -> State:
+        t_start = time.time()
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self.writer.set_pvd_path(f"{cfg.output_dir}/simulation.pvd")
+        self.flow_writer.set_pvd_path(f"{cfg.output_dir}/flow.pvd")
+        self._init_csv(cfg)
+
+        t_corr = 0.0
+        cycle = 0
+
+        # checkpoint/resume (new capability)
+        from .checkpoint import load_checkpoint, save_checkpoint
+        if cfg.resume_from:
+            state, t_corr, meta = load_checkpoint(cfg.resume_from, state)
+            self.total_implicit_steps = meta.get("total_implicit_steps", 0)
+            self.total_dissolved = meta.get("total_dissolved", 0)
+            cycle = meta.get("cycle", 0)
+            print(f"Resumed from {cfg.resume_from} at t={t_corr:.1f} s")
+
+        n_init_solid = int(np.asarray(kit.initial_solid_mask).sum())
+        print(f"Initial solid nodes: {n_init_solid}")
+        if cfg.use_implicit:
+            print(f"Using IMPLICIT ARD solver (dt_max={cfg.implicit_dt_max:.1f} s, "
+                  f"fraction={cfg.implicit_dt_fraction:.2f})")
+        else:
+            print("Using EXPLICIT ARD solver")
+
+        self._write_state(cfg, grid, state, "state", t_corr, self.writer)
+
+        need_flow_solve = True
+        self.dissolved_since_flow = 0
+
+        while t_corr < cfg.T_final:
+            cycle += 1
+            print(f"\n=== Coupling cycle {cycle}, t={t_corr:.1f} s "
+                  f"({t_corr / 3600.0:.2f} h) ===")
+
+            # --- Phase 1: steady flow (only when geometry changed) ---
+            if need_flow_solve:
+                print(f"  Flow re-solve triggered ({self.dissolved_since_flow} "
+                      f"nodes dissolved since last flow solve)")
+                state, iters, eps, conv, div = solve_steady(state, kit)
+                state.rho.block_until_ready()
+                print(f"  Flow: {int(iters)} iters, eps={float(eps):.3e}, "
+                      f"converged={bool(conv)}, diverged={bool(div)}")
+                self.dissolved_since_flow = 0
+                need_flow_solve = False
+                self._write_state(cfg, grid, state, "flow", t_corr, self.flow_writer)
+            else:
+                print("  Skipping flow solve (no dissolution since last flow solve)")
+
+            # --- Phase 2: corrosion with frozen velocity ---
+            if cfg.use_implicit:
+                vol_loss = volume_loss_fraction(state, kit)
+                op = ai.assemble(state, kit, vol_loss)
+
+                implicit_step_n = 0
+                t_cycle_start = t_corr
+                dissolution_occurred = False
+
+                while (implicit_step_n < cfg.corrosion_steps_per_check
+                       and t_corr < cfg.T_final and not dissolution_occurred):
+                    state, dt, dissolved_any, res, diag = implicit_inner_step(
+                        state, op, kit)
+                    t_corr += float(dt)
+                    implicit_step_n += 1
+                    self.total_implicit_steps += 1
+
+                    if self.total_implicit_steps % cfg.diagnostic_every == 0:
+                        self._write_diagnostics(cfg, t_corr, diag)
+                    if self.total_implicit_steps % cfg.implicit_output_every == 0:
+                        self._write_state(cfg, grid, state, "corr", t_corr,
+                                          self.writer)
+                    dissolution_occurred = bool(dissolved_any)
+
+                print(f"  Implicit cycle: {implicit_step_n} steps, "
+                      f"t={t_cycle_start:.2f} to {t_corr:.2f} s "
+                      f"({t_corr / 3600.0:.4f} h)")
+            else:
+                vol_loss = volume_loss_fraction(state, kit)
+                dt_corr = float(ard_compute_dt(state, kit))
+                print(f"  Corrosion dt = {dt_corr:.4e} s")
+
+                step = 0
+                while step < cfg.corrosion_steps_per_check and t_corr < cfg.T_final:
+                    n_chunk = min(cfg.output_every_corr,
+                                  cfg.corrosion_steps_per_check - step)
+                    # respect T_final within the chunk
+                    n_fit = int(max(1, min(n_chunk,
+                                           np.ceil((cfg.T_final - t_corr) / dt_corr))))
+                    state = explicit_chunk(state, kit, dt_corr, vol_loss, n_fit)
+                    t_corr += dt_corr * n_fit
+                    step += n_fit
+                    if n_fit == n_chunk:
+                        self._write_state(cfg, grid, state, "corr", t_corr,
+                                          self.writer)
+                        self._write_diagnostics(cfg, t_corr,
+                                                diagnostics(state, kit))
+
+            # --- Phase 3: phase change (device remask, no rebuild) ---
+            state, n_dissolved = apply_phase_change(state, kit)
+            n_dissolved = int(n_dissolved)
+            self.total_dissolved += n_dissolved
+            self.dissolved_since_flow += n_dissolved
+            if n_dissolved > 0:
+                print(f"  Phase change: {n_dissolved} nodes dissolved "
+                      f"(total: {self.total_dissolved}, since flow: "
+                      f"{self.dissolved_since_flow})")
+                need_flow_solve = True
+            else:
+                print("  No phase changes this cycle")
+
+            if cfg.checkpoint_every and cycle % cfg.checkpoint_every == 0:
+                save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
+                                {"cycle": cycle,
+                                 "total_implicit_steps": self.total_implicit_steps,
+                                 "total_dissolved": self.total_dissolved})
+
+            solid_remaining = int(jnp.sum(
+                (state.node_type == SOLID_MG).astype(jnp.int32)))
+            if solid_remaining == 0:
+                print(f"\n=== All solid nodes dissolved at t={t_corr:.1f} s "
+                      f"({t_corr / 3600.0:.2f} h) ===")
+                break
+
+        self._write_state(cfg, grid, state, "final", t_corr, self.writer)
+        print(f"\n=== Simulation complete ===")
+        print(f"  Final time: {t_corr:.1f} s ({t_corr / 3600.0:.2f} h)")
+        print(f"  [Timer] total_simulation: {time.time() - t_start:.3f} s")
+        return state

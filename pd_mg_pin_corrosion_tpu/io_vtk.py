@@ -1,0 +1,217 @@
+"""VTK output: ASCII VTI (ImageData), VTU (UnstructuredGrid), crash-safe PVD.
+
+Format-compatible rewrite of the reference VTKWriter (src/vtk_writer.cpp):
+same 10 point-data arrays in the same order/names (velocity, pressure,
+density, concentration, phase, node_type, grain_id, D_map,
+is_grain_boundary, is_precipitate), WALL/OUTSIDE velocity zeroed for
+visualization, NaN audit with warning, subnormal flush, and the PVD
+collection rewritten after every snapshot so a killed run leaves a loadable
+time series (vtk_writer.cpp:148-158).
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import numpy as np
+
+
+def _safe(a: np.ndarray) -> np.ndarray:
+    """NaN/inf -> 0 and subnormal flush (vtk_writer.cpp:8-14)."""
+    a = np.where(np.isfinite(a), a, 0.0)
+    return np.where((a != 0.0) & (np.abs(a) < 1e-300), 0.0, a)
+
+
+def _fmt_block(out, arr, fmt="%.9g"):
+    """Write one value per line with the reference's indentation."""
+    flat = np.asarray(arr).ravel()
+    body = "\n".join("          " + (fmt % v) for v in flat)
+    out.write(body)
+    out.write("\n")
+
+
+def _fmt_vec_block(out, arr3, fmt="%.9g"):
+    body = "\n".join(
+        "          " + " ".join(fmt % v for v in row) for row in arr3
+    )
+    out.write(body)
+    out.write("\n")
+
+
+def _nan_audit(state, filename):
+    n = int(np.isnan(np.asarray(state.vel)).any(axis=-1).sum())
+    n += int((np.isnan(np.asarray(state.rho)) | np.isnan(np.asarray(state.C))
+              | np.isnan(np.asarray(state.pressure))).sum())
+    if n > 0:
+        print(f"WARNING: {n} NaN values detected when writing {filename}",
+              file=sys.stderr)
+
+
+class VTKWriter:
+    def __init__(self):
+        self._pvd_path = ""
+        self._entries: list[tuple[float, str]] = []
+
+    # ------------------------------------------------------------------
+    def write(self, filename: str, grid, state, cfg) -> None:
+        """ASCII VTI ImageData (vtk_writer.cpp:16-146)."""
+        _nan_audit(state, filename)
+        dim = grid.dim
+        nx, ny = grid.Nx, grid.Ny
+        nz = grid.Nz if dim == 3 else 1
+        oz = grid.origin[2] if dim == 3 else 0.0
+
+        nt = np.asarray(state.node_type).ravel()
+        fictitious = (nt == 2) | (nt == 5)  # WALL | OUTSIDE zeroed for viz
+
+        vel = np.asarray(state.vel).reshape(-1, dim).astype(np.float64)
+        vel3 = np.zeros((vel.shape[0], 3))
+        vel3[:, :dim] = _safe(vel)
+        vel3[fictitious] = 0.0
+
+        out = io.StringIO()
+        out.write('<?xml version="1.0"?>\n')
+        out.write('<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian">\n')
+        out.write(
+            f'  <ImageData WholeExtent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}"'
+            f' Origin="{grid.origin[0]:g} {grid.origin[1]:g} {oz:g}"'
+            f' Spacing="{grid.dx:g} {grid.dx:g} {grid.dx:g}">\n'
+        )
+        out.write(f'    <Piece Extent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}">\n')
+        out.write('      <PointData Scalars="phase" Vectors="velocity">\n')
+
+        out.write('        <DataArray type="Float64" Name="velocity" '
+                  'NumberOfComponents="3" format="ascii">\n')
+        _fmt_vec_block(out, vel3)
+        out.write("        </DataArray>\n")
+
+        for name, data in (
+            ("pressure", _safe(np.asarray(state.pressure, np.float64))),
+            ("density", _safe(np.asarray(state.rho, np.float64))),
+            ("concentration", _safe(np.asarray(state.C, np.float64))),
+        ):
+            out.write(f'        <DataArray type="Float64" Name="{name}" format="ascii">\n')
+            _fmt_block(out, data)
+            out.write("        </DataArray>\n")
+
+        for name, data in (
+            ("phase", np.asarray(state.phase)),
+            ("node_type", nt),
+        ):
+            out.write(f'        <DataArray type="UInt8" Name="{name}" format="ascii">\n')
+            _fmt_block(out, data, fmt="%d")
+            out.write("        </DataArray>\n")
+
+        out.write('        <DataArray type="Int32" Name="grain_id" format="ascii">\n')
+        _fmt_block(out, np.asarray(state.grain_id), fmt="%d")
+        out.write("        </DataArray>\n")
+
+        out.write('        <DataArray type="Float64" Name="D_map" format="ascii">\n')
+        _fmt_block(out, _safe(np.asarray(state.D_map, np.float64)))
+        out.write("        </DataArray>\n")
+
+        for name, data in (
+            ("is_grain_boundary", np.asarray(state.is_gb).astype(np.uint8)),
+            ("is_precipitate", np.asarray(state.is_precip).astype(np.uint8)),
+        ):
+            out.write(f'        <DataArray type="UInt8" Name="{name}" format="ascii">\n')
+            _fmt_block(out, data, fmt="%d")
+            out.write("        </DataArray>\n")
+
+        out.write("      </PointData>\n")
+        out.write("    </Piece>\n")
+        out.write("  </ImageData>\n")
+        out.write("</VTKFile>\n")
+
+        with open(filename, "w") as f:
+            f.write(out.getvalue())
+
+    # ------------------------------------------------------------------
+    def write_vtu(self, filename: str, grid, state, cfg) -> None:
+        """ASCII VTU for unstructured/AMR grids (vtk_writer.cpp:199-346):
+        one VTK_VERTEX cell per node, OUTSIDE nodes filtered out."""
+        _nan_audit(state, filename)
+        dim = grid.dim
+        nt = np.asarray(state.node_type).ravel()
+        keep = nt != 5  # OUTSIDE
+        idx = np.flatnonzero(keep)
+        n_out = idx.size
+
+        pos = grid.pos.reshape(-1, dim)[idx]
+        pos3 = np.zeros((n_out, 3))
+        pos3[:, :dim] = pos
+
+        vel = np.asarray(state.vel).reshape(-1, dim)[idx]
+        vel3 = np.zeros((n_out, 3))
+        vel3[:, :dim] = _safe(vel)
+        vel3[nt[idx] == 2] = 0.0  # WALL zeroed
+
+        out = io.StringIO()
+        out.write('<?xml version="1.0"?>\n')
+        out.write('<VTKFile type="UnstructuredGrid" version="1.0" byte_order="LittleEndian">\n')
+        out.write("  <UnstructuredGrid>\n")
+        out.write(f'    <Piece NumberOfPoints="{n_out}" NumberOfCells="{n_out}">\n')
+        out.write("      <Points>\n")
+        out.write('        <DataArray type="Float64" NumberOfComponents="3" format="ascii">\n')
+        _fmt_vec_block(out, pos3)
+        out.write("        </DataArray>\n      </Points>\n")
+        out.write("      <Cells>\n")
+        out.write('        <DataArray type="Int32" Name="connectivity" format="ascii">\n')
+        _fmt_block(out, np.arange(n_out), fmt="%d")
+        out.write("        </DataArray>\n")
+        out.write('        <DataArray type="Int32" Name="offsets" format="ascii">\n')
+        _fmt_block(out, np.arange(1, n_out + 1), fmt="%d")
+        out.write("        </DataArray>\n")
+        out.write('        <DataArray type="UInt8" Name="types" format="ascii">\n')
+        _fmt_block(out, np.ones(n_out, np.uint8), fmt="%d")
+        out.write("        </DataArray>\n      </Cells>\n")
+
+        out.write('      <PointData Scalars="phase" Vectors="velocity">\n')
+        out.write('        <DataArray type="Float64" Name="velocity" '
+                  'NumberOfComponents="3" format="ascii">\n')
+        _fmt_vec_block(out, vel3)
+        out.write("        </DataArray>\n")
+
+        def scalar(name, data, vtype="Float64", fmt="%.9g"):
+            out.write(f'        <DataArray type="{vtype}" Name="{name}" format="ascii">\n')
+            _fmt_block(out, data, fmt=fmt)
+            out.write("        </DataArray>\n")
+
+        scalar("pressure", _safe(np.asarray(state.pressure, np.float64).ravel()[idx]))
+        scalar("concentration", _safe(np.asarray(state.C, np.float64).ravel()[idx]))
+        scalar("phase", np.asarray(state.phase).ravel()[idx], "UInt8", "%d")
+        scalar("node_type", nt[idx], "UInt8", "%d")
+        if getattr(grid, "grid_level", None) is not None:
+            scalar("grid_level", np.asarray(grid.grid_level).ravel()[idx], "Int32", "%d")
+            scalar("dx_local", np.asarray(grid.dx_local).ravel()[idx])
+        scalar("grain_id", np.asarray(state.grain_id).ravel()[idx], "Int32", "%d")
+        scalar("D_map", _safe(np.asarray(state.D_map, np.float64).ravel()[idx]))
+        scalar("is_grain_boundary", np.asarray(state.is_gb).ravel()[idx].astype(np.uint8), "UInt8", "%d")
+        scalar("is_precipitate", np.asarray(state.is_precip).ravel()[idx].astype(np.uint8), "UInt8", "%d")
+
+        out.write("      </PointData>\n    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+        with open(filename, "w") as f:
+            f.write(out.getvalue())
+
+    # ------------------------------------------------------------------
+    def set_pvd_path(self, path: str) -> None:
+        self._pvd_path = path
+
+    def add_timestep(self, time: float, vti_file: str) -> None:
+        self._entries.append((time, vti_file))
+        if self._pvd_path:
+            self.write_pvd(self._pvd_path)
+
+    def write_pvd(self, filename: str) -> None:
+        """Rewrite the full collection (crash-safe, vtk_writer.cpp:160-193)."""
+        pvd_dir = filename[: filename.rfind("/") + 1] if "/" in filename else ""
+        with open(filename, "w") as out:
+            out.write('<?xml version="1.0"?>\n')
+            out.write('<VTKFile type="Collection" version="1.0" byte_order="LittleEndian">\n')
+            out.write("  <Collection>\n")
+            for t, f in self._entries:
+                rel = f[len(pvd_dir):] if pvd_dir and f.startswith(pvd_dir) else f
+                out.write(f'    <DataSet timestep="{t:.6e}" file="{rel}"/>\n')
+            out.write("  </Collection>\n")
+            out.write("</VTKFile>\n")
