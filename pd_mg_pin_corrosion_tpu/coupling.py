@@ -33,16 +33,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .boundary import (apply_inlet_bc, apply_outlet_bc,
-                       apply_wall_concentration_bc,
-                       smooth_boundary_concentration)
+from .dispatch import ops_for
 from .fields import State
 from .grid import FLUID, SOLID_MG
-from .kit import Kit
 from .io_vtk import VTKWriter
-from .ops import ard_implicit as ai
-from .ops.ard import apply_phase_change, ard_step
-from .ops.ard import compute_dt as ard_compute_dt
 from .solvers import solve_steady
 
 
@@ -51,7 +45,7 @@ from .solvers import solve_steady
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def diagnostics(state: State, kit: Kit):
+def diagnostics(state: State, kit):
     """(pin_mass_loss_pct, solid_nodes, v_max, C_max_fluid)."""
     init_solid = kit.initial_solid_mask
     n0 = jnp.sum(init_solid.astype(kit.jdtype))
@@ -67,7 +61,7 @@ def diagnostics(state: State, kit: Kit):
 
 
 @jax.jit
-def volume_loss_fraction(state: State, kit: Kit):
+def volume_loss_fraction(state: State, kit):
     """Normalized volume loss over initially-solid nodes (coupling.cpp:157-163)."""
     init_solid = kit.initial_solid_mask
     n0 = jnp.sum(init_solid.astype(kit.jdtype))
@@ -80,15 +74,23 @@ def volume_loss_fraction(state: State, kit: Kit):
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def implicit_inner_step(state: State, op: ai.ImplicitOperator, kit: Kit):
+def assemble_operator(state: State, kit, vol_loss):
+    return ops_for(kit).assemble(state, kit, vol_loss)
+
+
+@jax.jit
+def implicit_inner_step(state: State, op, kit):
     """One implicit corrosion step: adaptive dt -> BCs -> GMRES -> smoothing
-    -> dissolution flag + diagnostics (coupling.cpp:174-212)."""
-    dt = ai.compute_adaptive_dt(state, op, kit)
-    state = apply_inlet_bc(state, kit)
-    state = apply_outlet_bc(state, kit)
-    state = apply_wall_concentration_bc(state, kit)
-    state, res = ai.implicit_step(state, op, kit, dt)
-    state = smooth_boundary_concentration(state, kit)
+    -> fictitious refresh (AMR) -> dissolution flag + diagnostics
+    (coupling.cpp:174-212)."""
+    ops = ops_for(kit)
+    dt = ops.compute_adaptive_dt(state, op, kit)
+    state = ops.apply_inlet_bc(state, kit)
+    state = ops.apply_outlet_bc(state, kit)
+    state = ops.apply_wall_concentration_bc(state, kit)
+    state, res = ops.implicit_step(state, op, kit, dt)
+    state = ops.smooth_boundary_concentration(state, kit)
+    state = ops.update_fictitious(state, kit)
 
     dissolved_any = jnp.any(
         (state.node_type == SOLID_MG) & (state.C < kit.cfg.C_thresh)
@@ -98,14 +100,15 @@ def implicit_inner_step(state: State, op: ai.ImplicitOperator, kit: Kit):
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
-def explicit_chunk(state: State, kit: Kit, dt, vol_loss, n_steps: int):
+def explicit_chunk(state: State, kit, dt, vol_loss, n_steps: int):
     """n explicit corrosion steps fused on device (coupling.cpp:232-252)."""
+    ops = ops_for(kit)
 
     def body(s, _):
-        s = apply_inlet_bc(s, kit)
-        s = apply_outlet_bc(s, kit)
-        s = apply_wall_concentration_bc(s, kit)
-        s = ard_step(s, kit, dt, vol_loss)
+        s = ops.apply_inlet_bc(s, kit)
+        s = ops.apply_outlet_bc(s, kit)
+        s = ops.apply_wall_concentration_bc(s, kit)
+        s = ops.ard_step(s, kit, dt, vol_loss)
         return s, None
 
     state, _ = jax.lax.scan(body, state, length=n_steps)
@@ -157,7 +160,8 @@ class CoupledSolver:
             f.write(f"{t / 3600.0:.6f},{loss:.6f}\n")
 
     # ------------------------------------------------------------------
-    def run(self, grid, state: State, kit: Kit, cfg) -> State:
+    def run(self, grid, state: State, kit, cfg) -> State:
+        ops = ops_for(kit)
         t_start = time.time()
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.writer.set_pvd_path(f"{cfg.output_dir}/simulation.pvd")
@@ -199,6 +203,7 @@ class CoupledSolver:
                 print(f"  Flow re-solve triggered ({self.dissolved_since_flow} "
                       f"nodes dissolved since last flow solve)")
                 state, iters, eps, conv, div = solve_steady(state, kit)
+                state = ops.update_fictitious(state, kit)  # coupling.cpp:139
                 state.rho.block_until_ready()
                 print(f"  Flow: {int(iters)} iters, eps={float(eps):.3e}, "
                       f"converged={bool(conv)}, diverged={bool(div)}")
@@ -211,7 +216,7 @@ class CoupledSolver:
             # --- Phase 2: corrosion with frozen velocity ---
             if cfg.use_implicit:
                 vol_loss = volume_loss_fraction(state, kit)
-                op = ai.assemble(state, kit, vol_loss)
+                op = assemble_operator(state, kit, vol_loss)
 
                 implicit_step_n = 0
                 t_cycle_start = t_corr
@@ -237,7 +242,7 @@ class CoupledSolver:
                       f"({t_corr / 3600.0:.4f} h)")
             else:
                 vol_loss = volume_loss_fraction(state, kit)
-                dt_corr = float(ard_compute_dt(state, kit))
+                dt_corr = float(ops.ard_compute_dt(state, kit))
                 print(f"  Corrosion dt = {dt_corr:.4e} s")
 
                 step = 0
@@ -257,7 +262,7 @@ class CoupledSolver:
                                                 diagnostics(state, kit))
 
             # --- Phase 3: phase change (device remask, no rebuild) ---
-            state, n_dissolved = apply_phase_change(state, kit)
+            state, n_dissolved = ops.apply_phase_change(state, kit)
             n_dissolved = int(n_dissolved)
             self.total_dissolved += n_dissolved
             self.dissolved_since_flow += n_dissolved

@@ -132,42 +132,54 @@ def generate(grid: Grid, cfg: Config, seed: int = 42) -> GrainStructure:
     grain_id[solid_nodes] = assigned
 
     # GB detection over IMMEDIATE neighbors only (grains.cpp:72-88):
-    # dist <= sqrt(dim)*dx*1.01 — stencil-shift comparison on the dense array
+    # dist <= sqrt(dim)*dx*1.01
     gb_cutoff = math.sqrt(dim) * cfg.dx * 1.01
     gid = grain_id.reshape(shape)
     solid_mask = (nt_flat == SOLID_MG).reshape(shape)
-    st = grid.stencil
-    near_slots = [s for s in range(st.size) if st.dist[s] <= gb_cutoff]
 
-    def shift_arr(A, off, fill):
-        out = np.full_like(A, fill)
-        src = [slice(None)] * A.ndim
-        dst = [slice(None)] * A.ndim
-        for ax, o in enumerate(off):
-            n = A.shape[ax]
-            if o >= 0:
-                src[ax] = slice(o, n)
-                dst[ax] = slice(0, n - o)
-            else:
-                src[ax] = slice(0, n + o)
-                dst[ax] = slice(-o, n)
-        out[tuple(dst)] = A[tuple(src)]
-        return out
+    if hasattr(grid, "nbr_idx"):
+        # unstructured (AMR) grid: use the padded neighbor arrays
+        near = (grid.nbr_dist <= gb_cutoff) & (grid.nbr_vol > 0)
+        gid_j = np.where(near, grain_id[grid.nbr_idx], -2)
+        solid_j = near & (nt_flat[grid.nbr_idx] == SOLID_MG)
+        is_gb = solid_mask & (solid_j & (gid_j != grain_id[:, None])).any(-1)
+        for _ in range(cfg.gb_width_cells):
+            gb_j = near & is_gb[grid.nbr_idx]
+            is_gb = is_gb | (solid_mask & gb_j.any(-1))
+    else:
+        # structured grid: stencil-shift comparison on the dense array
+        st = grid.stencil
+        near_slots = [s for s in range(st.size) if st.dist[s] <= gb_cutoff]
 
-    gb2 = np.zeros(shape, dtype=bool)
-    for s in near_slots:
-        gj = shift_arr(gid, st.offsets[s], -2)
-        sj = shift_arr(solid_mask, st.offsets[s], False)
-        gb2 |= solid_mask & sj & (gj != gid)
-    is_gb = gb2
+        def shift_arr(A, off, fill):
+            out = np.full_like(A, fill)
+            src = [slice(None)] * A.ndim
+            dst = [slice(None)] * A.ndim
+            for ax, o in enumerate(off):
+                n = A.shape[ax]
+                if o >= 0:
+                    src[ax] = slice(o, n)
+                    dst[ax] = slice(0, n - o)
+                else:
+                    src[ax] = slice(0, n + o)
+                    dst[ax] = slice(-o, n)
+            out[tuple(dst)] = A[tuple(src)]
+            return out
 
-    # GB dilation (grains.cpp:91-107)
-    for _ in range(cfg.gb_width_cells):
-        grown = is_gb.copy()
+        gb2 = np.zeros(shape, dtype=bool)
         for s in near_slots:
-            gbj = shift_arr(is_gb, st.offsets[s], False)
-            grown |= solid_mask & gbj
-        is_gb = grown
+            gj = shift_arr(gid, st.offsets[s], -2)
+            sj = shift_arr(solid_mask, st.offsets[s], False)
+            gb2 |= solid_mask & sj & (gj != gid)
+        is_gb = gb2
+
+        # GB dilation (grains.cpp:91-107)
+        for _ in range(cfg.gb_width_cells):
+            grown = is_gb.copy()
+            for s in near_slots:
+                gbj = shift_arr(is_gb, st.offsets[s], False)
+                grown |= solid_mask & gbj
+            is_gb = grown
 
     # precipitates in grain interiors (grains.cpp:119-176)
     is_precip = np.zeros(shape, dtype=bool)

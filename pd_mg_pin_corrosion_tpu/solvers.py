@@ -16,12 +16,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .boundary import (apply_inlet_bc, apply_outlet_bc, apply_solid_surface_bc,
-                       apply_wall_bc)
+from .dispatch import is_structured, ops_for
 from .fields import State
 from .grid import FLUID
 from .kit import Kit
-from .ops.ns import compute_dt, ns_step, tait_pressure
 
 
 def _channel_flow_corrections(state: State, kit: Kit) -> State:
@@ -60,13 +58,14 @@ def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
     flow_max_iters + 1 on exhaustion).
     """
     cfg = kit.cfg
-    dt0 = compute_dt(state, kit)
+    ops = ops_for(kit)
+    dt0 = ops.compute_dt_ns(state, kit)
 
     def pre_bcs(st):
-        st = apply_inlet_bc(st, kit)
-        st = apply_outlet_bc(st, kit)
-        st = apply_wall_bc(st, kit)
-        st = apply_solid_surface_bc(st, kit)
+        st = ops.apply_inlet_bc(st, kit)
+        st = ops.apply_outlet_bc(st, kit)
+        st = ops.apply_wall_bc(st, kit)
+        st = ops.apply_solid_surface_bc(st, kit)
         return st
 
     def cond(carry):
@@ -77,9 +76,9 @@ def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
         st, it, eps, dt, conv, div = carry
 
         st_bc = pre_bcs(st)
-        st_new = ns_step(st_bc, kit, dt)
-        st_new = apply_wall_bc(st_new, kit)  # wall BC on new buffers (pd_ns.cpp:205)
-        if cfg.channel_flow_corrections:
+        st_new = ops.ns_step(st_bc, kit, dt)
+        st_new = ops.apply_wall_bc(st_new, kit)  # wall BC on new buffers (pd_ns.cpp:205)
+        if cfg.channel_flow_corrections and is_structured(kit):
             st_new = _channel_flow_corrections(st_new, kit)
 
         # --- convergence / divergence check (pd_ns.cpp:273-322) ---
@@ -100,12 +99,13 @@ def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
         eps = jnp.where(do_check, eps_new, eps)
         done = div_new | conv_new
 
-        # on break the reference keeps the pre-step buffers (break before swap)
-        st_next = _select(done, st_bc, st_new)
+        # on break the reference keeps the pre-step buffers (break before swap);
+        # otherwise swap and refresh AMR fictitious values (pd_ns.cpp:325-328)
+        st_next = _select(done, st_bc, ops.update_fictitious(st_new, kit))
 
         # dt refresh every 200 iterations (pd_ns.cpp:331-333)
         refresh = (it % 200 == 0) & ~done
-        dt_next = jnp.where(refresh, compute_dt(st_next, kit), dt)
+        dt_next = jnp.where(refresh, ops.compute_dt_ns(st_next, kit), dt)
 
         return (st_next, it + 1, eps, dt_next, conv_new, div_new)
 
@@ -115,7 +115,7 @@ def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
 
     # exit bookkeeping: broken iterations report the iteration that broke
     iters = jnp.where(conv | div, it - 1, it)
-    st = replace(st, pressure=tait_pressure(st.rho, kit))
+    st = replace(st, pressure=ops.tait_pressure(st.rho, kit))
     return st, iters, eps, conv, div
 
 

@@ -1,0 +1,544 @@
+"""Gather-based device backend for unstructured (AMR) grids.
+
+The structured backend (kit.py/ops/) exploits the shared lattice stencil;
+AMR grids break that, so this backend consumes the fixed-degree padded
+neighbor arrays built in amr.py: every bond sum is a gather ``field[nbr_idx]``
+-> [N, K] followed by masked reductions over the K axis. Per-node PD
+constants (V_H, beta_lap) come from delta_local as in the reference's AMR
+branches (pd_ns.cpp:19-33, pd_ard.cpp:17-31, pd_ard_implicit.cpp:22-37).
+
+Function signatures mirror the structured backend so solvers/coupling can
+dispatch on kit type (see dispatch.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .amr import AMRGrid
+from .config import Config
+from .fields import State
+from .grid import (FICTITIOUS, FLUID, INLET, OUTLET, OUTSIDE, SOLID_MG, WALL)
+
+PI = math.pi
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "nbr_idx", "nbr_dist", "nbr_evec", "nbr_vol",
+        "V_H_node", "beta_node", "delta_node",
+        "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
+        "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
+        "initial_solid_mask", "fict_nodes", "fict_src", "fict_w",
+    ],
+    meta_fields=["cfg", "dim", "N", "K", "dtype"],
+)
+@dataclass(frozen=True)
+class UKit:
+    nbr_idx: jax.Array       # [N, K] int32
+    nbr_dist: jax.Array      # [N, K]
+    nbr_evec: jax.Array      # [N, K, dim]
+    nbr_vol: jax.Array       # [N, K] (0 marks invalid slots)
+    V_H_node: jax.Array      # [N]
+    beta_node: jax.Array     # [N]
+    delta_node: jax.Array    # [N]
+    inlet_mask: jax.Array
+    outlet_mask: jax.Array
+    wall_mask: jax.Array
+    outside_mask: jax.Array
+    near_inlet_mask: jax.Array
+    near_outlet_mask: jax.Array
+    v_pois: jax.Array
+    mirror_flat: jax.Array   # [N] int32 (-1 none)
+    initial_solid_mask: jax.Array
+    fict_nodes: jax.Array    # [Nf] int32
+    fict_src: jax.Array      # [Nf, Kf] int32
+    fict_w: jax.Array        # [Nf, Kf]
+
+    cfg: Config
+    dim: int
+    N: int
+    K: int
+    dtype: str
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def shape(self):
+        return (self.N,)
+
+    @property
+    def axial_comp(self) -> int:
+        return self.dim - 1
+
+    @property
+    def alpha(self) -> float:
+        return float(self.dim)
+
+
+def build_ukit(grid: AMRGrid, cfg: Config, dtype: str | None = None) -> UKit:
+    if dtype is None:
+        dtype = "float64" if cfg.precision == "f64" else "float32"
+    jd = jnp.dtype(dtype)
+
+    nt = grid.node_type
+    d = grid.delta_local
+    if cfg.dim == 2:
+        V_H = PI * d * d
+        beta = 4.0 / (PI * d * d)
+    else:
+        V_H = (4.0 / 3.0) * PI * d**3
+        beta = 12.0 / (PI * d * d)
+
+    from .fields import poiseuille_axial
+    v_pois = poiseuille_axial(cfg, grid.pos)
+
+    ax = grid.axial_axis
+    y = grid.pos[..., ax]
+    near_in = (y - (-cfg.L_upstream)) < grid.delta_local
+    near_out = ((cfg.L_wire + cfg.L_downstream) - y) < grid.delta_local
+
+    return UKit(
+        nbr_idx=jnp.asarray(grid.nbr_idx),
+        nbr_dist=jnp.asarray(grid.nbr_dist, jd),
+        nbr_evec=jnp.asarray(grid.nbr_evec, jd),
+        nbr_vol=jnp.asarray(grid.nbr_vol, jd),
+        V_H_node=jnp.asarray(V_H, jd),
+        beta_node=jnp.asarray(beta, jd),
+        delta_node=jnp.asarray(d, jd),
+        inlet_mask=jnp.asarray(nt == INLET),
+        outlet_mask=jnp.asarray(nt == OUTLET),
+        wall_mask=jnp.asarray(nt == WALL),
+        outside_mask=jnp.asarray(nt == OUTSIDE),
+        near_inlet_mask=jnp.asarray(near_in),
+        near_outlet_mask=jnp.asarray(near_out),
+        v_pois=jnp.asarray(v_pois, jd),
+        mirror_flat=jnp.asarray(grid.mirror_idx),
+        initial_solid_mask=jnp.asarray(nt == SOLID_MG),
+        fict_nodes=jnp.asarray(grid.fict_nodes),
+        fict_src=jnp.asarray(grid.fict_src),
+        fict_w=jnp.asarray(grid.fict_w, jd),
+        cfg=cfg, dim=grid.dim, N=grid.N_total, K=grid.K, dtype=dtype,
+    )
+
+
+def initialize_state_u(grid: AMRGrid, cfg: Config, grains=None, dtype=None) -> State:
+    """Per-node-type init on the flat AMR grid (main.cpp:9-127 semantics)."""
+    from .fields import initialize_state
+
+    class _Shim:
+        node_type = grid.node_type
+        pos = grid.pos
+        shape = grid.shape
+        dim = grid.dim
+    return initialize_state(_Shim, cfg, grains=grains,
+                            dtype=dtype or jnp.dtype("float32"))
+
+
+# ---------------------------------------------------------------------------
+# gather helpers
+# ---------------------------------------------------------------------------
+
+def _g(kit: UKit, a: jax.Array) -> jax.Array:
+    """Gather neighbor values: [N] -> [N, K] (or [N, d] -> [N, K, d])."""
+    return a[kit.nbr_idx]
+
+
+# ---------------------------------------------------------------------------
+# PD-NS
+# ---------------------------------------------------------------------------
+
+def tait_pressure(rho, kit):
+    cfg = kit.cfg
+    B = cfg.rho_f * cfg.c0 * cfg.c0 / cfg.gamma_eos
+    ratio = jnp.clip(rho / cfg.rho_f, 0.5, 2.0)
+    return B * (jnp.power(ratio, cfg.gamma_eos) - 1.0)
+
+
+def compute_dt_ns(state: State, kit: UKit):
+    """Identical to the structured path: stability limited by the finest dx
+    (pd_ns.cpp:52-76)."""
+    cfg = kit.cfg
+    fluid = state.node_type == FLUID
+    vmag = jnp.linalg.norm(state.vel, axis=-1)
+    v_max = jnp.max(jnp.where(fluid, vmag, 0.0))
+    dt_cfl = cfg.dx / (cfg.c0 + v_max + 1e-30)
+    nu = cfg.mu_f / cfg.rho_f
+    dt_visc = 0.25 * cfg.dx * cfg.dx / (nu + 1e-30)
+    D_v = cfg.eta_density * cfg.c0 * cfg.delta
+    dt_dens = 0.25 * cfg.dx * cfg.dx / (D_v + 1e-30)
+    return cfg.cfl_factor * jnp.minimum(dt_cfl, jnp.minimum(dt_visc, dt_dens))
+
+
+def ns_step(state: State, kit: UKit, dt) -> State:
+    """Gather-based PD-NS step with per-node AMR constants (pd_ns.cpp:78-180)."""
+    cfg = kit.cfg
+    dim = kit.dim
+    dt = jnp.asarray(dt, kit.jdtype)
+
+    pressure = tait_pressure(state.rho, kit)
+
+    rho_i = state.rho
+    vel_i = state.vel
+    p_i = pressure
+
+    rho_j = _g(kit, rho_i)                      # [N, K]
+    vel_j = _g(kit, vel_i)                      # [N, K, d]
+    p_j = _g(kit, p_i)
+
+    inv_xi = 1.0 / kit.nbr_dist
+    inv_xi2 = inv_xi * inv_xi
+    V = kit.nbr_vol
+    e = kit.nbr_evec
+
+    inv_VH = (1.0 / kit.V_H_node)[:, None]
+    beta_l = kit.beta_node
+    D_v = cfg.eta_density * cfg.c0 * kit.delta_node
+    dens_coeff = (beta_l * D_v)[:, None]
+
+    flux_diff = rho_j[..., None] * vel_j - (rho_i[:, None, None] * vel_i[:, None, :])
+    mass_conv = ((flux_diff * e).sum(-1) * inv_xi * V).sum(-1)
+    mass_diff = (dens_coeff * (rho_j - rho_i[:, None]) * inv_xi2 * V).sum(-1)
+
+    # momentum convection: sum_dp (rho_j v_jd v_jdp - rho_i v_id v_idp) e_dp
+    vv_j = rho_j[..., None, None] * vel_j[..., :, None] * vel_j[..., None, :]
+    vv_i = (rho_i[..., None, None] * vel_i[..., :, None] * vel_i[..., None, :])[:, None]
+    conv = ((vv_j - vv_i) * e[..., None, :]).sum(-1)          # [N, K, d]
+    mom_conv = (conv * (inv_xi * V)[..., None]).sum(1)         # [N, d]
+
+    mom_pres = (((p_j - p_i[:, None]) * inv_xi * V)[..., None] * e).sum(1)
+    mom_visc = ((vel_j - vel_i[:, None, :]) * (inv_xi2 * V)[..., None]).sum(1)
+
+    alpha_invVH = kit.alpha * inv_VH[:, 0]
+    rho_new = rho_i + dt * (-alpha_invVH * mass_conv + mass_diff)
+    rho_new = jnp.clip(rho_new, 0.5 * cfg.rho_f, 2.0 * cfg.rho_f)
+
+    vel_new = vel_i + dt / rho_i[:, None] * (
+        -alpha_invVH[:, None] * (mom_conv + mom_pres)
+        + (cfg.mu_f * beta_l)[:, None] * mom_visc
+    )
+
+    fluid = state.node_type == FLUID
+    rho_out = jnp.where(fluid, rho_new, rho_i)
+    vel_out = jnp.where(fluid[:, None], vel_new, vel_i)
+    return replace(state, rho=rho_out, vel=vel_out, pressure=pressure)
+
+
+# ---------------------------------------------------------------------------
+# boundary conditions
+# ---------------------------------------------------------------------------
+
+def _nbr_avg(kit: UKit, value, pred):
+    """Average of neighbor values where pred(j) holds (valid slots only)."""
+    sel = (_g(kit, pred.astype(kit.jdtype))) * (kit.nbr_vol > 0)
+    tot = (_g(kit, value) * sel).sum(-1)
+    cnt = sel.sum(-1)
+    return tot, cnt
+
+
+def apply_inlet_bc(state: State, kit: UKit) -> State:
+    cfg = kit.cfg
+    inlet = kit.inlet_mask
+    v_in = jnp.zeros_like(state.vel).at[:, kit.axial_comp].set(kit.v_pois)
+    vel = jnp.where(inlet[:, None], v_in, state.vel)
+
+    fluid = state.node_type == FLUID
+    tot, cnt = _nbr_avg(kit, state.rho, fluid)
+    rho_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), cfg.rho_f)
+    rho = jnp.where(inlet, rho_avg, state.rho)
+    C = jnp.where(inlet, cfg.C_liquid_init, state.C)
+    return replace(state, vel=vel, rho=rho, C=C)
+
+
+def apply_outlet_bc(state: State, kit: UKit) -> State:
+    cfg = kit.cfg
+    outlet = kit.outlet_mask
+    ax = kit.axial_comp
+    rho = jnp.where(outlet, cfg.rho_f, state.rho)
+
+    pred = (state.node_type == FLUID) | (state.node_type == OUTLET)
+    v_tot, cnt = _nbr_avg(kit, state.vel[:, ax], pred)
+    C_tot, _ = _nbr_avg(kit, state.C, pred)
+    safe = jnp.maximum(cnt, 1.0)
+    v_ax = jnp.where(cnt > 0, v_tot / safe, cfg.U_in)
+    C_avg = jnp.where(cnt > 0, C_tot / safe, 0.0)
+
+    v_out = jnp.zeros_like(state.vel).at[:, ax].set(v_ax)
+    vel = jnp.where(outlet[:, None], v_out, state.vel)
+    C = jnp.where(outlet, C_avg, state.C)
+    return replace(state, rho=rho, vel=vel, C=C)
+
+
+def apply_wall_bc(state: State, kit: UKit) -> State:
+    cfg = kit.cfg
+    wall = kit.wall_mask
+    midx = kit.mirror_flat
+    has = midx >= 0
+    gidx = jnp.maximum(midx, 0)
+    rho_m = state.rho[gidx]
+    vel_m = state.vel[gidx]
+    rho_w = jnp.where(has, rho_m, cfg.rho_f)
+    vel_w = jnp.where(has[:, None], -vel_m, 0.0)
+    rho = jnp.where(wall, rho_w, state.rho)
+    vel = jnp.where(wall[:, None], vel_w, state.vel)
+    return replace(state, rho=rho, vel=vel)
+
+
+def apply_wall_concentration_bc(state: State, kit: UKit) -> State:
+    wall = kit.wall_mask
+    fluid = state.node_type == FLUID
+    tot, cnt = _nbr_avg(kit, state.C, fluid)
+    C_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), 0.0)
+    C = jnp.where(wall, C_avg, state.C)
+    return replace(state, C=C)
+
+
+def smooth_boundary_concentration(state: State, kit: UKit) -> State:
+    """Interior-side fluid-neighbor average near inlet/outlet with per-node
+    delta (boundary.cpp:332-376). The interior-side test uses the sign of
+    the bond's axial unit-vector component (y_j - y_i = e_ax * xi)."""
+    fluid = state.node_type == FLUID
+    near_in = kit.near_inlet_mask & fluid
+    near_out = kit.near_outlet_mask & fluid
+
+    ax = kit.axial_comp
+    e_ax = kit.nbr_evec[..., ax]
+    fj = _g(kit, fluid.astype(kit.jdtype)) * (kit.nbr_vol > 0)
+    sel = (near_in[:, None] & (e_ax > 0)) | (near_out[:, None] & (e_ax < 0))
+    sel = sel.astype(kit.jdtype) * fj
+    tot = (_g(kit, state.C) * sel).sum(-1)
+    cnt = sel.sum(-1)
+    C_sm = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), state.C)
+    C = jnp.where((near_in | near_out) & (cnt > 0), C_sm, state.C)
+    return replace(state, C=C)
+
+
+def apply_solid_surface_bc(state: State, kit: UKit) -> State:
+    solid = state.node_type == SOLID_MG
+    vel = jnp.where(solid[:, None], 0.0, state.vel)
+    return replace(state, vel=vel)
+
+
+def update_fictitious(state: State, kit: UKit) -> State:
+    """IDW overwrite of C, rho, pressure, vel on FICTITIOUS nodes
+    (grid.cpp:814-842)."""
+    w = kit.fict_w
+
+    def interp(a):
+        return (a[kit.fict_src] * w).sum(-1)
+
+    def interp_vec(a):
+        return (a[kit.fict_src] * w[..., None]).sum(1)
+
+    C = state.C.at[kit.fict_nodes].set(interp(state.C).astype(state.C.dtype))
+    rho = state.rho.at[kit.fict_nodes].set(interp(state.rho).astype(state.rho.dtype))
+    p = state.pressure.at[kit.fict_nodes].set(
+        interp(state.pressure).astype(state.pressure.dtype))
+    vel = state.vel.at[kit.fict_nodes].set(
+        interp_vec(state.vel).astype(state.vel.dtype))
+    return replace(state, C=C, rho=rho, pressure=p, vel=vel)
+
+
+# ---------------------------------------------------------------------------
+# explicit ARD
+# ---------------------------------------------------------------------------
+
+def compute_salt_blocked(state: State, kit: UKit):
+    cfg = kit.cfg
+    nt_j = _g(kit, state.node_type)
+    C_j = _g(kit, state.C)
+    hit = ((nt_j == FLUID) & (C_j >= cfg.C_sat) & (kit.nbr_vol > 0)).any(-1)
+    return hit & (state.node_type == SOLID_MG)
+
+
+def _bond_terms(state: State, kit: UKit, decay):
+    """Shared bond classification for explicit/implicit ARD (pd_ard.cpp:117-170,
+    pd_ard_implicit.cpp:196-252). Returns masks and D_avg [N, K]."""
+    cfg = kit.cfg
+    nt = state.node_type
+    i_fluid = nt == FLUID
+    i_solid = nt == SOLID_MG
+
+    salt_blocked = compute_salt_blocked(state, kit)
+
+    nt_j = _g(kit, nt)
+    valid = (nt_j != WALL) & (nt_j != OUTSIDE) & (kit.nbr_vol > 0)
+
+    j_fluid = (nt_j == FLUID) | (nt_j == INLET) | (nt_j == OUTLET) | (nt_j == FICTITIOUS)
+    j_solid = nt_j == SOLID_MG
+
+    ll = i_fluid[:, None] & j_fluid
+    ss = i_solid[:, None] & j_solid
+    iface = (i_fluid[:, None] & j_solid) | (i_solid[:, None] & j_fluid)
+
+    D_s = jnp.where(state.is_gb, cfg.D_gb,
+                    jnp.where(state.is_precip, cfg.D_precip, cfg.D_grain)) * decay
+    D_s_j = _g(kit, D_s)
+    blocked_j = _g(kit, salt_blocked)
+    solid_D = jnp.where(i_solid[:, None], D_s[:, None], D_s_j)
+    solid_blocked = jnp.where(i_solid[:, None], salt_blocked[:, None], blocked_j)
+    D_iface = jnp.where(solid_blocked, 0.0,
+                        2.0 * cfg.D_liquid * solid_D / (cfg.D_liquid + solid_D + 1e-30))
+    D_avg = jnp.where(ll, cfg.D_liquid, jnp.where(iface, D_iface, 0.0))
+    return i_fluid, i_solid, valid, ll, ss, D_avg
+
+
+def ard_compute_dt(state: State, kit: UKit):
+    from .ops.ard import compute_dt as _dt  # shape-agnostic
+    return _dt(state, kit)
+
+
+def ard_step(state: State, kit: UKit, dt, volume_loss_fraction=0.0) -> State:
+    cfg = kit.cfg
+    dt = jnp.asarray(dt, kit.jdtype)
+    if cfg.corrosion_decay_l > 0.0:
+        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
+                          / cfg.corrosion_decay_l)
+    else:
+        decay = jnp.asarray(1.0, kit.jdtype)
+
+    i_fluid, i_solid, valid, ll, ss, D_avg = _bond_terms(state, kit, decay)
+    active = i_fluid | i_solid
+
+    C_i = state.C
+    C_j = _g(kit, C_i)
+    vel_i = jnp.where(i_fluid[:, None], state.vel, 0.0)
+    vmag = jnp.linalg.norm(state.vel, axis=-1)
+    vmag_i = jnp.where(i_fluid, vmag, 0.0)
+    vmag_j = _g(kit, vmag)
+
+    # artificial diffusion uses uniform cfg.dx (pd_ard.cpp:166-169)
+    D_art = jnp.where(ll, cfg.alpha_art_diff
+                      * jnp.maximum(vmag_i[:, None], vmag_j) * cfg.dx, 0.0)
+
+    inv_xi = 1.0 / kit.nbr_dist
+    inv_xi2 = inv_xi * inv_xi
+    V = kit.nbr_vol * valid
+    bond_on = (~ss).astype(kit.jdtype)
+
+    beta_i = kit.beta_node[:, None]
+    dC = C_j - C_i[:, None]
+    diff_sum = (beta_i * (D_avg + D_art) * dC * inv_xi2 * V * bond_on).sum(-1)
+
+    v_dot_e = (vel_i[:, None, :] * kit.nbr_evec).sum(-1)
+    adv_sum = (jnp.where(ll, dC * v_dot_e * inv_xi * V, 0.0)).sum(-1)
+    div_coeff = kit.alpha / kit.V_H_node
+
+    C_new = C_i + dt * (diff_sum - div_coeff * adv_sum)
+    C_new = jnp.maximum(C_new, 0.0)
+    C_out = jnp.where(active, C_new, C_i)
+    return replace(state, C=C_out)
+
+
+def apply_phase_change(state: State, kit: UKit):
+    from .ops.ard import apply_phase_change as _pc  # shape-agnostic
+    return _pc(state, kit)
+
+
+# ---------------------------------------------------------------------------
+# implicit ARD (matrix-free, with fictitious constraint rows)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ImplicitOperatorU:
+    W: jax.Array        # [N, K]
+    diag: jax.Array     # [N]
+    unknown: jax.Array  # [N] bool — FLUID | SOLID rows (M rows)
+    fict: jax.Array     # [N] bool — FICTITIOUS constraint rows
+
+
+def assemble(state: State, kit: UKit, volume_loss_fraction=0.0) -> ImplicitOperatorU:
+    cfg = kit.cfg
+    if cfg.corrosion_decay_l > 0.0:
+        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
+                          / cfg.corrosion_decay_l)
+    else:
+        decay = jnp.asarray(1.0, kit.jdtype)
+
+    i_fluid, i_solid, valid, ll, ss, D_avg = _bond_terms(state, kit, decay)
+    unknown = i_fluid | i_solid
+
+    inv_xi = 1.0 / kit.nbr_dist
+    inv_xi2 = inv_xi * inv_xi
+    V = kit.nbr_vol * valid
+
+    w_diff = kit.beta_node[:, None] * D_avg * inv_xi2 * V
+
+    vel_i = jnp.where(i_fluid[:, None], state.vel, 0.0)
+    v_dot_e = (vel_i[:, None, :] * kit.nbr_evec).sum(-1)
+    div_coeff = (kit.alpha / kit.V_H_node)[:, None]
+    w_adv = div_coeff * v_dot_e * inv_xi * V
+    w_stab = jnp.maximum(0.0, w_adv - w_diff)
+    w_ll = (w_diff + w_stab) - w_adv
+
+    w = jnp.where(ll, w_ll, w_diff)
+    w = jnp.where(unknown[:, None] & ~ss, w, 0.0)
+    diag = -w.sum(-1)
+
+    return ImplicitOperatorU(W=w, diag=diag, unknown=unknown,
+                             fict=state.node_type == FICTITIOUS)
+
+
+def matvec_M(op: ImplicitOperatorU, kit: UKit, x):
+    y = op.diag * x + (op.W * x[kit.nbr_idx]).sum(-1)
+    return jnp.where(op.unknown, y, 0.0)
+
+
+def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
+                  tol: float = 1e-10, restart: int = 50, maxiter: int = 200):
+    """(I - dt*M) with identity BC rows and IDW constraint rows for
+    FICTITIOUS nodes (pd_ard_implicit.cpp:371-429, 500-535)."""
+    cfg = kit.cfg
+    dt = jnp.asarray(dt, kit.jdtype)
+    C_old = state.C
+
+    def fict_row(x):
+        """x_f - sum_j w_j x_src_j for every fictitious node."""
+        return x[kit.fict_nodes] - (x[kit.fict_src] * kit.fict_w).sum(-1)
+
+    def A(x):
+        y = jnp.where(op.unknown, x - dt * matvec_M(op, kit, x), x)
+        return y.at[kit.fict_nodes].set(fict_row(x).astype(y.dtype),
+                                        unique_indices=True,
+                                        indices_are_sorted=True)
+
+    inv_diag = 1.0 / (1.0 - dt * op.diag)
+
+    def precond(x):
+        return jnp.where(op.unknown, x * inv_diag, x)
+
+    b = jnp.where(op.fict, 0.0, C_old)
+    x, _ = jax.scipy.sparse.linalg.gmres(
+        A, b, x0=C_old, tol=tol, atol=0.0, restart=restart,
+        maxiter=maxiter // restart if maxiter >= restart else 1,
+        M=precond, solve_method="batched",
+    )
+    res = jnp.linalg.norm(A(x) - b) / jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    solved = op.unknown | op.fict
+    C_new = jnp.where(solved, jnp.clip(x, 0.0, cfg.C_solid_init), C_old)
+    return replace(state, C=C_new), res
+
+
+def compute_adaptive_dt(state: State, op: ImplicitOperatorU, kit: UKit):
+    cfg = kit.cfg
+    MC = matvec_M(op, kit, state.C)
+    solid = state.node_type == SOLID_MG
+    eligible = solid & (state.C > cfg.C_thresh) & (MC < 0.0)
+    rate = -MC
+    t_phase = (state.C - cfg.C_thresh) / jnp.maximum(rate, 1e-30)
+    t_phase = jnp.where(eligible & (t_phase > 0.0), t_phase, cfg.implicit_dt_max)
+    min_t = jnp.minimum(jnp.min(t_phase), cfg.implicit_dt_max)
+    dt = cfg.implicit_dt_fraction * min_t
+    dt = jnp.minimum(dt, cfg.implicit_dt_max)
+    dt = jnp.maximum(dt, cfg.implicit_dt_max * 0.01)
+    return dt
