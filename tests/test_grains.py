@@ -1,0 +1,78 @@
+"""Grain structure tests: Voronoi assignment, GB detection/dilation,
+precipitates, RNG reproducibility (seed=42 as in grains.cpp:9)."""
+
+import numpy as np
+
+from pd_mg_pin_corrosion_tpu import Config, SOLID_MG, build_grid
+from pd_mg_pin_corrosion_tpu import grains as gm
+
+
+def grain_cfg():
+    cfg = Config()
+    cfg.R_wire = 40.0e-6
+    cfg.L_wire = 400.0e-6
+    cfg.R_tube = 150.0e-6
+    cfg.L_upstream = 80.0e-6
+    cfg.L_downstream = 80.0e-6
+    cfg.grain_size_mean = 40.0e-6
+    cfg.gb_width_cells = 1
+    cfg.precip_fraction = 0.05
+    return cfg.compute_derived()
+
+
+def test_grain_structure_basic():
+    cfg = grain_cfg()
+    grid = build_grid(cfg)
+    g = gm.generate(grid, cfg, seed=42)
+    solid = grid.node_type == SOLID_MG
+    n_solid = int(solid.sum())
+
+    # grain count formula (grains.cpp:32-40)
+    import math
+    expected = max(1, round(n_solid * cfg.dx**2 / (math.pi / 4 * cfg.grain_size_mean**2)))
+    assert g.n_grains == expected
+
+    # every solid node assigned, no non-solid assigned
+    assert (g.grain_id[solid] >= 0).all()
+    assert (g.grain_id[~solid] == -1).all()
+    assert g.grain_id[solid].max() < g.n_grains
+
+    # GB only on solid, nonzero but not everything
+    assert g.is_grain_boundary[~solid].sum() == 0
+    frac = g.is_grain_boundary[solid].mean()
+    assert 0.0 < frac < 1.0
+
+    # precipitates only in grain interiors
+    assert not (g.is_precipitate & g.is_grain_boundary).any()
+    assert g.is_precipitate[solid].sum() > 0
+
+
+def test_grain_reproducibility():
+    cfg = grain_cfg()
+    grid = build_grid(cfg)
+    a = gm.generate(grid, cfg, seed=42)
+    b = gm.generate(grid, cfg, seed=42)
+    np.testing.assert_array_equal(a.grain_id, b.grain_id)
+    np.testing.assert_array_equal(a.is_grain_boundary, b.is_grain_boundary)
+    np.testing.assert_array_equal(a.is_precipitate, b.is_precipitate)
+    c = gm.generate(grid, cfg, seed=43)
+    assert not np.array_equal(a.grain_id, c.grain_id)
+
+
+def test_mt19937_raw_stream_matches_std():
+    """Our raw MT19937 stream must equal std::mt19937 (first outputs of
+    seed 5489 are canonical: 3499211612, 581869302, ...)."""
+    s = gm._MT19937Stream(5489)
+    assert s.next_u32() == 3499211612
+    assert s.next_u32() == 581869302
+    assert s.next_u32() == 3890346734
+
+
+def test_gb_dilation_grows():
+    cfg = grain_cfg()
+    grid = build_grid(cfg)
+    cfg0 = grain_cfg()
+    cfg0.gb_width_cells = 0
+    g0 = gm.generate(grid, cfg0, seed=42)
+    g1 = gm.generate(grid, cfg, seed=42)  # gb_width_cells=1
+    assert g1.is_grain_boundary.sum() > g0.is_grain_boundary.sum()
