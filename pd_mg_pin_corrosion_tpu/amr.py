@@ -263,7 +263,18 @@ def _build_neighbors_padded(cfg, pos, node_type, dx_local, delta_local,
 
     Same-level-only bonds, neighbor-dx beta correction, r<1e-14 skip
     (grid.cpp:707-770). Invalid slots: idx=self, dist=1, evec=0, vol=0.
+
+    Uses the native OpenMP cell-list builder when available (the same
+    component the reference implements at grid.cpp:660-808); falls back to
+    a KD-tree search in Python.
     """
+    if pos.shape[1] == 2:
+        from . import native
+        res = native.cell_list_neighbors_2d(
+            pos, node_type, dx_local, delta_local, grid_level)
+        if res is not None:
+            return res
+
     from scipy.spatial import cKDTree
 
     N = len(node_type)

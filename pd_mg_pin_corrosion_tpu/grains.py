@@ -120,15 +120,19 @@ def generate(grid: Grid, cfg: Config, seed: int = 42) -> GrainStructure:
         si = solid_nodes[rng.uniform_int(solid_nodes.size - 1)]
         seed_pos[g] = pos_flat[si]
 
-    # nearest-seed Voronoi assignment (grains.cpp:56-70); vectorized in
-    # manageable chunks (reference is a brute-force O(N_solid * n_grains) loop)
+    # nearest-seed Voronoi assignment (grains.cpp:56-70); native OpenMP loop
+    # when available, chunked numpy otherwise (reference is brute-force
+    # O(N_solid * n_grains))
     sp = pos_flat[solid_nodes]
-    chunk = 65536
-    assigned = np.empty(solid_nodes.size, dtype=np.int32)
-    for lo in range(0, solid_nodes.size, chunk):
-        hi = min(lo + chunk, solid_nodes.size)
-        d2 = ((sp[lo:hi, None, :] - seed_pos[None, :, :]) ** 2).sum(-1)
-        assigned[lo:hi] = np.argmin(d2, axis=1)
+    from . import native
+    assigned = native.voronoi_assign(sp, seed_pos)
+    if assigned is None:
+        chunk = 65536
+        assigned = np.empty(solid_nodes.size, dtype=np.int32)
+        for lo in range(0, solid_nodes.size, chunk):
+            hi = min(lo + chunk, solid_nodes.size)
+            d2 = ((sp[lo:hi, None, :] - seed_pos[None, :, :]) ** 2).sum(-1)
+            assigned[lo:hi] = np.argmin(d2, axis=1)
     grain_id[solid_nodes] = assigned
 
     # GB detection over IMMEDIATE neighbors only (grains.cpp:72-88):

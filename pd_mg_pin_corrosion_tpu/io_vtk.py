@@ -24,19 +24,23 @@ def _safe(a: np.ndarray) -> np.ndarray:
 
 
 def _fmt_block(out, arr, fmt="%.9g"):
-    """Write one value per line with the reference's indentation."""
+    """Write one value per line with the reference's indentation.
+
+    Hot path — serialized by the native C library when available
+    (native/pdcorr_native.cpp), with a pure-Python fallback."""
+    from . import native
+
     flat = np.asarray(arr).ravel()
-    body = "\n".join("          " + (fmt % v) for v in flat)
-    out.write(body)
-    out.write("\n")
+    if fmt == "%d":
+        out.write(native.fmt_int_block(flat.astype(np.int64)))
+    else:
+        out.write(native.fmt_scalar_block(flat.astype(np.float64)))
 
 
 def _fmt_vec_block(out, arr3, fmt="%.9g"):
-    body = "\n".join(
-        "          " + " ".join(fmt % v for v in row) for row in arr3
-    )
-    out.write(body)
-    out.write("\n")
+    from . import native
+
+    out.write(native.fmt_vec3_block(np.asarray(arr3, np.float64)))
 
 
 def _nan_audit(state, filename):
