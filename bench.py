@@ -24,7 +24,8 @@ def main():
     from pd_mg_pin_corrosion_tpu.fields import initialize_state
     from pd_mg_pin_corrosion_tpu.grid import OUTSIDE, build_grid
     from pd_mg_pin_corrosion_tpu.kit import build_kit
-    from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt, ns_step
+    from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt
+    from pd_mg_pin_corrosion_tpu.pallas_kernels import ns_step_auto as ns_step
 
     # Large 2D flow-cell grid (~0.9M nodes): baseline geometry at dx=1um
     cfg = Config()

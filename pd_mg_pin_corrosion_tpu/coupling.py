@@ -207,6 +207,13 @@ class CoupledSolver:
                 state.rho.block_until_ready()
                 print(f"  Flow: {int(iters)} iters, eps={float(eps):.3e}, "
                       f"converged={bool(conv)}, diverged={bool(div)}")
+                # in-path Poiseuille validation (pd_ns.cpp:341-368)
+                if cfg.dim == 2 and not cfg.use_amr and not bool(div):
+                    from .solvers import poiseuille_l2_error
+                    err = poiseuille_l2_error(state, grid, cfg)
+                    if np.isfinite(err):
+                        print(f"  Poiseuille validation (upstream): "
+                              f"L2 rel error = {err:.3e}")
                 self.dissolved_since_flow = 0
                 need_flow_solve = False
                 self._write_state(cfg, grid, state, "flow", t_corr, self.flow_writer)

@@ -22,8 +22,10 @@ def ops_for(kit) -> SimpleNamespace:
         from .ops import ard_implicit as ai
         from .ops import ns as ns
 
+        from .pallas_kernels import ns_step_auto
+
         return SimpleNamespace(
-            ns_step=ns.ns_step,
+            ns_step=ns_step_auto,
             compute_dt_ns=ns.compute_dt,
             tait_pressure=ns.tait_pressure,
             apply_inlet_bc=bc.apply_inlet_bc,

@@ -1,0 +1,47 @@
+"""Pallas fused NS kernel: bitwise parity with the XLA stencil-shift path.
+
+Runs only on TPU (Mosaic kernels don't lower on the CPU backend); on the
+CPU test harness these are skipped and the dispatch falls back to XLA,
+which the transport/flow suites already validate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pd_mg_pin_corrosion_tpu import Config, build_grid, build_kit, initialize_state
+from pd_mg_pin_corrosion_tpu import pallas_kernels as pk
+from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt, ns_step
+
+tpu = any(d.platform == "tpu" for d in jax.devices())
+pytestmark = pytest.mark.skipif(not tpu, reason="pallas kernels need TPU")
+
+
+def test_pallas_matches_xla():
+    cfg = Config()
+    cfg.dx = 2.0e-6
+    cfg.L_upstream = 100e-6
+    cfg.L_downstream = 100e-6
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert pk.pallas_applicable(kit)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    dt = compute_dt(state, kit)
+
+    ref = jax.jit(lambda s: ns_step(s, kit, dt))(state)
+    out = pk.ns_step_pallas(state, kit, dt)
+    np.testing.assert_array_equal(np.asarray(out.rho), np.asarray(ref.rho))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
+    np.testing.assert_array_equal(np.asarray(out.pressure), np.asarray(ref.pressure))
+
+
+def test_auto_fallback_f64():
+    cfg = Config()
+    cfg.precision = "f64"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert not pk.pallas_applicable(kit)  # f64 -> XLA path
