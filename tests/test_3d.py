@@ -1,0 +1,128 @@
+"""3D (dim=3) path tests: grid construction, stencil, a bounded short flow
+run, and transport machinery.
+
+3D stability note (documented reference-faithful behavior): the reference's
+own PD_DIM=3 build diverges at its default eta_density=0.1 (an axial
+acoustic mode grows; verified by building and running the reference with
+-DPD_DIM=3 — v_max blows up at iter ~1200 with the same trajectory this
+rebuild produces). Stronger delta-SPH density diffusion (eta_density ~ 1.0)
+keeps 3D bounded, which is what config/params_3d.cfg ships with.
+"""
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pd_mg_pin_corrosion_tpu import (FLUID, SOLID_MG, Config, build_grid,
+                                     build_kit, initialize_state)
+from pd_mg_pin_corrosion_tpu import boundary as bc
+from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+from pd_mg_pin_corrosion_tpu.ops.ard import apply_phase_change, ard_step
+from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt, ns_step
+
+
+def cfg3d():
+    cfg = Config()
+    cfg.dim = 3
+    cfg.dx = 5e-6
+    cfg.R_wire = 15e-6
+    cfg.L_wire = 60e-6
+    cfg.R_tube = 50e-6
+    cfg.L_upstream = 40e-6
+    cfg.L_downstream = 40e-6
+    cfg.Q_flow = 1.667e-10
+    cfg.eta_density = 1.0
+    cfg.D_grain = 5e-11
+    cfg.D_gb = 5e-9
+    cfg.precision = "f64"
+    return cfg.compute_derived()
+
+
+def test_3d_grid():
+    cfg = cfg3d()
+    grid = build_grid(cfg)
+    assert grid.dim == 3
+    assert grid.shape == (grid.Nz, grid.Ny, grid.Nx)
+    assert grid.Ny == grid.Nx  # square cross-section (grid.cpp:59)
+    counts = grid.type_counts()
+    assert counts["SOLID_MG"] > 0
+    assert counts["OUTSIDE"] > 0  # corners outside the circular wall annulus
+
+    # solid confined to the wire cylinder
+    nt = grid.node_type
+    solid = nt == SOLID_MG
+    r = np.sqrt(grid.pos[..., 0] ** 2 + grid.pos[..., 1] ** 2)
+    assert np.all(r[solid] <= cfg.R_wire + 1e-12)
+    assert np.all(grid.pos[..., 2][solid] >= -1e-12)
+
+    # 3D stencil size: integer lattice points with norm <= m + 1/2
+    count = sum(
+        1
+        for dk in range(-4, 5)
+        for dj in range(-4, 5)
+        for di in range(-4, 5)
+        if (di, dj, dk) != (0, 0, 0) and (di**2 + dj**2 + dk**2) ** 0.5 <= 3.5
+    )
+    assert grid.stencil.size == count
+
+
+def test_3d_flow_bounded():
+    """Short 3D flow run stays bounded with eta_density=1.0."""
+    cfg = cfg3d()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+    dt = compute_dt(state, kit)
+
+    @jax.jit
+    def one(s):
+        s = bc.apply_inlet_bc(s, kit)
+        s = bc.apply_outlet_bc(s, kit)
+        s = bc.apply_wall_bc(s, kit)
+        s = bc.apply_solid_surface_bc(s, kit)
+        sn = ns_step(s, kit, dt)
+        return bc.apply_wall_bc(sn, kit)
+
+    s = state
+    for _ in range(400):
+        s = one(s)
+    fluid = np.asarray(s.node_type) == FLUID
+    vm = np.asarray(jnp.linalg.norm(s.vel, axis=-1))[fluid]
+    rho = np.asarray(s.rho)[fluid]
+    assert np.isfinite(vm).all()
+    assert vm.max() < 10.0 * 2.0 * cfg.U_in
+    assert 0.9 * cfg.rho_f < rho.min() and rho.max() < 1.1 * cfg.rho_f
+
+
+def test_3d_transport_and_phase_change():
+    cfg = cfg3d()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+    state = replace(state, vel=jnp.zeros_like(state.vel))
+
+    # explicit step conserves shape/finiteness
+    s1 = jax.jit(lambda s: ard_step(s, kit, 1e-4))(state)
+    assert np.isfinite(np.asarray(s1.C)).all()
+
+    # implicit GMRES solve converges in 3D
+    op = jax.jit(lambda s: ai.assemble(s, kit))(state)
+    s2, res = jax.jit(lambda s: ai.implicit_step(s, op, kit, 1.0))(state)
+    assert float(res) < 1e-9
+    # solid surface C decreased, fluid picked mass up
+    nt = np.asarray(state.node_type)
+    assert float(np.asarray(s2.C)[nt == SOLID_MG].min()) < 1.0
+    assert float(np.asarray(s2.C)[nt == FLUID].max()) > 0.0
+
+    # long-run: dissolution mechanism fires, or (reference-test fallback,
+    # test_implicit.cpp:876-895) solid C trends clearly toward threshold
+    step = jax.jit(lambda s: ai.implicit_step(s, op, kit, 30.0)[0])
+    s3 = s2
+    for _ in range(40):
+        s3 = step(s3)
+    s4, n = apply_phase_change(s3, kit)
+    if int(n) == 0:
+        Cmin = float(np.asarray(s3.C)[nt == SOLID_MG].min())
+        assert Cmin < 0.9, "solid C barely changed — interface bonds inactive?"
