@@ -1,0 +1,66 @@
+"""End-to-end coupled corrosion on an AMR grid: CoupledSolver + UKit +
+VTU/PVD outputs + fictitious refresh inside the loop."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from pd_mg_pin_corrosion_tpu import unstructured as u
+from pd_mg_pin_corrosion_tpu.amr import build_amr_grid
+from pd_mg_pin_corrosion_tpu.config import Config
+from pd_mg_pin_corrosion_tpu.coupling import CoupledSolver
+from pd_mg_pin_corrosion_tpu.fields import initialize_state
+from pd_mg_pin_corrosion_tpu import grains as grains_mod
+
+
+def test_amr_coupled_run(tmp_path):
+    cfg = Config()
+    cfg.dx = 5.0e-6
+    cfg.use_amr = 1
+    cfg.amr_ratio = 2
+    cfg.amr_buffer = 30.0e-6
+    cfg.R_wire = 20.0e-6
+    cfg.L_wire = 80.0e-6
+    cfg.R_tube = 100.0e-6
+    cfg.L_upstream = 80.0e-6
+    cfg.L_downstream = 80.0e-6
+    cfg.c0 = 0.5
+    cfg.cfl_factor = 0.25
+    cfg.flow_conv_tol = 1.0e-4
+    cfg.flow_max_iters = 3000
+    cfg.D_grain = 5.0e-11
+    cfg.D_gb = 5.0e-9
+    cfg.gb_width_cells = 1
+    cfg.T_final = 5.0
+    cfg.corrosion_steps_per_check = 10
+    cfg.use_implicit = 1
+    cfg.implicit_output_every = 10**9
+    cfg.diagnostic_every = 1
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.precision = "f64"
+    cfg.compute_derived()
+
+    grid = build_amr_grid(cfg)
+    assert int((grid.node_type == 1).sum()) > 0  # SOLID present
+    assert int((grid.node_type == 6).sum()) > 0  # FICTITIOUS present
+
+    g = grains_mod.generate(grid, cfg)
+    kit = u.build_ukit(grid, cfg)
+    state = initialize_state(grid, cfg, grains=g, dtype=kit.jdtype)
+
+    solver = CoupledSolver()
+    final = solver.run(grid, state, kit, cfg)
+
+    # corrosion progressed and stayed finite
+    assert solver.total_dissolved > 0
+    assert np.isfinite(np.asarray(final.C)).all()
+    assert np.isfinite(np.asarray(final.vel)).all()
+
+    # AMR writer produced VTU snapshots + PVD
+    files = os.listdir(cfg.output_dir)
+    assert any(f.endswith(".vtu") for f in files)
+    assert "simulation.pvd" in files
+    with open(f"{cfg.output_dir}/diagnostics.csv") as f:
+        rows = f.readlines()
+    assert len(rows) > 1
