@@ -45,10 +45,13 @@ def main(argv=None) -> int:
 
     print("Initializing fields...")
     from .fields import initialize_state
-    from .kit import build_kit
-    import jax.numpy as jnp
 
-    kit = build_kit(grid, cfg)
+    if cfg.use_amr:
+        from .unstructured import build_ukit
+        kit = build_ukit(grid, cfg)
+    else:
+        from .kit import build_kit
+        kit = build_kit(grid, cfg)
     state = initialize_state(grid, cfg, grains=grains, dtype=kit.jdtype)
 
     print(f"  [Timer] initialization: {time.time() - t0:.3f} s")
