@@ -24,9 +24,21 @@ def main(argv=None) -> int:
 
     t0 = time.time()
 
+    import os
+
     import jax
     if cfg.precision == "f64":
         jax.config.update("jax_enable_x64", True)
+
+    # persistent compilation cache: the big solve graphs (steady-flow
+    # while_loop, GMRES) take minutes to compile; cache them across runs
+    cache_dir = os.environ.get("PD_TPU_CACHE", os.path.expanduser("~/.pd_tpu_jit_cache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
 
     print("Building grid...")
     if cfg.use_amr:

@@ -6,13 +6,12 @@ with a seeded RNG, nearest-seed (Voronoi) assignment, immediate-neighbor GB
 detection + dilation, random precipitates in grain interiors with optional
 cluster growth.
 
-RNG parity note: the reference uses std::mt19937(42) with libstdc++'s
-uniform_int_distribution / std::shuffle, whose mappings from raw 32-bit
-draws to ints are implementation-defined. We use numpy's MT19937 stream with
-our own explicit rejection-sampling mapping (matching libstdc++'s published
-downscaling algorithm) so grain structures are reproducible here; parity
-with the reference build is statistical (same seed density, GB fraction,
-precipitate fraction), per SURVEY §7 "Grain RNG parity".
+RNG parity: BIT-EXACT with the g++/libstdc++ reference build. The raw
+std::mt19937 stream, libstdc++'s uniform_int_distribution downscaling
+rejection, and libstdc++'s std::shuffle (incl. its two-uniform-ints-per-
+draw optimization) are all replicated and validated against compiled
+probes, so grain_id / GB / precipitate fields match the reference exactly
+for the same seed (default 42, grains.cpp:9).
 """
 
 from __future__ import annotations
@@ -79,10 +78,36 @@ class _MT19937Stream:
                 return r // scaling
 
     def shuffle(self, arr: np.ndarray) -> None:
-        """Fisher-Yates with per-step uniform_int draws (std::shuffle shape)."""
-        for i in range(1, len(arr)):
-            j = self.uniform_int(i)
-            arr[i], arr[j] = arr[j], arr[i]
+        """Bit-exact libstdc++ std::shuffle.
+
+        For n*n <= urng range, libstdc++ draws one uniform int per PAIR of
+        swaps (__gen_two_uniform_ints); otherwise it falls back to forward
+        Fisher-Yates with one draw per element (bits/stl_algo.h).
+        Verified against a compiled g++ probe.
+        """
+        n = len(arr)
+        if n <= 1:
+            return
+        urngrange = 2**32 - 1
+        if urngrange // n >= n:
+            i = 1
+            if n % 2 == 0:
+                j = self.uniform_int(1)
+                arr[i], arr[j] = arr[j], arr[i]
+                i += 1
+            while i < n:
+                swap_range = i + 1
+                x = self.uniform_int(swap_range * (swap_range + 1) - 1)
+                p0, p1 = x // (swap_range + 1), x % (swap_range + 1)
+                arr[i], arr[p0] = arr[p0], arr[i]
+                i += 1
+                if i < n:
+                    arr[i], arr[p1] = arr[p1], arr[i]
+                    i += 1
+        else:
+            for i in range(1, n):
+                j = self.uniform_int(i)
+                arr[i], arr[j] = arr[j], arr[i]
 
 
 @dataclass
