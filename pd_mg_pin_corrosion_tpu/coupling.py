@@ -229,10 +229,15 @@ class CoupledSolver:
                 t_cycle_start = t_corr
                 dissolution_occurred = False
 
+                gmres_tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
                 while (implicit_step_n < cfg.corrosion_steps_per_check
                        and t_corr < cfg.T_final and not dissolution_occurred):
                     state, dt, dissolved_any, res, diag = implicit_inner_step(
                         state, op, kit)
+                    if float(res) > 100.0 * gmres_tol:
+                        # failure-detection telemetry (pd_ard_implicit.cpp:411-414)
+                        print(f"WARNING: GMRES did not converge "
+                              f"(|res|={float(res):.2e})")
                     t_corr += float(dt)
                     implicit_step_n += 1
                     self.total_implicit_steps += 1

@@ -140,14 +140,21 @@ def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
 
 
 def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
-                  tol: float = 1e-10, restart: int = 50, maxiter: int = 200):
+                  tol: float | None = None, restart: int = 50,
+                  maxiter: int = 200):
     """Solve (I - dt*M) C_new = C_old with GMRES (pd_ard_implicit.cpp:371-429).
 
     Returns (new_state, residual_norm). BC rows are identity with b = current
     C (algebraically identical to the reference's RHS split). The result is
     clamped to [0, C_solid_init] on unknown rows only, as in the reference.
+
+    Tolerance: the reference's 1e-10 in f64 mode; 1e-6 in f32 performance
+    mode (1e-10 is below f32 round-off, and an unreachable tol would burn
+    every restart cycle on every step).
     """
     cfg = kit.cfg
+    if tol is None:
+        tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
     dt = jnp.asarray(dt, kit.jdtype)
     C_old = state.C
 

@@ -495,10 +495,15 @@ def matvec_M(op: ImplicitOperatorU, kit: UKit, x):
 
 
 def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
-                  tol: float = 1e-10, restart: int = 50, maxiter: int = 200):
+                  tol: float | None = None, restart: int = 50,
+                  maxiter: int = 200):
     """(I - dt*M) with identity BC rows and IDW constraint rows for
-    FICTITIOUS nodes (pd_ard_implicit.cpp:371-429, 500-535)."""
+    FICTITIOUS nodes (pd_ard_implicit.cpp:371-429, 500-535).
+
+    Tolerance: 1e-10 in f64 (reference), 1e-6 in f32 performance mode."""
     cfg = kit.cfg
+    if tol is None:
+        tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
     dt = jnp.asarray(dt, kit.jdtype)
     C_old = state.C
 
