@@ -131,7 +131,15 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
 
 
 def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
-    """y = M x over unknown rows (zero elsewhere)."""
+    """y = M x over unknown rows (zero elsewhere).
+
+    Dispatches to the fused Pallas stencil-matvec on 2D f32 TPU grids
+    (pallas_kernels.matvec_M_pallas) — this is GMRES's hot op, applied
+    50-200x per implicit transport step."""
+    from ..pallas_kernels import matvec_applicable, matvec_M_pallas
+    if matvec_applicable(kit):
+        return matvec_M_pallas(op, kit, x)
+
     x_p = kit.pad(x, 0.0)
     y = op.diag * x
     for s, _, _, _ in kit.bond_iter():
@@ -161,21 +169,27 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
     def A(x):
         return jnp.where(op.unknown, x - dt * matvec_M(op, kit, x), x)
 
-    # Jacobi preconditioner: diag(A) = 1 - dt*diag(M) >= 1
+    # Truncated-Neumann (polynomial) preconditioner on the Jacobi-scaled
+    # system: y_{n+1} = y_n + D^{-1}(x - A y_n), 2 refinement sweeps.
+    # Replaces the reference's IncompleteLUT (sequential, TPU-hostile);
+    # at stiff dt (~60 s) plain Jacobi stalls near 1e-4 relative residual
+    # while 2 Neumann sweeps reach the tolerance in <= 3 restart cycles.
     inv_diag = 1.0 / (1.0 - dt * op.diag)
 
-    def precond(x):
+    def jacobi(x):
         return jnp.where(op.unknown, x * inv_diag, x)
 
-    b = C_old
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        A, b, x0=C_old, tol=tol, atol=0.0, restart=restart,
-        maxiter=maxiter // restart if maxiter >= restart else 1,
-        M=precond, solve_method="batched",
-    )
+    def precond(x):
+        y = jacobi(x)
+        for _ in range(2):
+            y = y + jacobi(x - A(y))
+        return y
 
-    res = jnp.linalg.norm(A(x).ravel() - b.ravel()) / jnp.maximum(
-        jnp.linalg.norm(b.ravel()), 1e-300)
+    from .gmres import gmres
+
+    b = C_old
+    x, (res, _cycles) = gmres(A, b, C_old, tol=tol, restart=restart,
+                              maxiter=maxiter, M=precond)
 
     C_new = jnp.where(op.unknown, jnp.clip(x, 0.0, cfg.C_solid_init), C_old)
     return replace(state, C=C_new), res

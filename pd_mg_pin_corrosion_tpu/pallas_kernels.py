@@ -209,3 +209,79 @@ def ns_step_auto(state: State, kit: Kit, dt) -> State:
     if pallas_applicable(kit):
         return ns_step_pallas(state, kit, dt)
     return ns_step_xla(state, kit, dt)
+
+
+# ---------------------------------------------------------------------------
+# Fused stencil matvec for the implicit transport operator
+# ---------------------------------------------------------------------------
+#
+# The implicit path's hot op is the GMRES matvec y = diag*x + sum_s W_s *
+# shift_s(x) (ops/ard_implicit.matvec_M): 50-200 applications per transport
+# step. x (+ halo) stays resident in VMEM; the per-slot weight stack W
+# ([S, Ny, Nx], frozen per coupling cycle) streams through blocked row
+# slabs — weights need no halo because W_s belongs to the *center* row.
+
+
+def matvec_applicable(kit: Kit) -> bool:
+    if not HAVE_PALLAS or kit.dim != 2 or kit.jdtype != jnp.float32:
+        return False
+    if kit.mext > _PR:
+        return False
+    ny, nx, nyb, nxr, rows, cols = _geometry(kit)
+    # resident: padded x + unknown/diag blocks; W streams per row block
+    return (2 * rows * cols + 3 * nyb * nxr) * 4 <= _VMEM_BUDGET
+
+
+_BY_MV = 64  # smaller slab: the [S, BY, nxr] weight block must fit VMEM
+
+
+def _matvec_kernel(kit: Kit, nxr: int,
+                   x_ref, W_ref, diag_ref, unk_ref, y_out):
+    S = kit.S
+    i = pl.program_id(0)
+    row0 = i * _BY_MV
+    win = _BY_MV + 2 * _PR
+
+    x_w = x_ref[pl.ds(row0, win), :]
+
+    def center(a):
+        return a[_PR:_PR + _BY_MV, _PC:_PC + nxr]
+
+    acc = diag_ref[pl.ds(row0, _BY_MV), :] * center(x_w)
+    for s in range(S):
+        dj, di = kit.offsets[s]
+        r = pltpu.roll(x_w, (-dj) % x_w.shape[0], 0) if dj else x_w
+        r = pltpu.roll(r, (-di) % r.shape[1], 1) if di else r
+        acc += W_ref[s] * center(r)
+
+    unk = unk_ref[pl.ds(row0, _BY_MV), :]
+    y_out[...] = jnp.where(unk, acc, 0.0)
+
+
+@jax.jit
+def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
+    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 2D f32)."""
+    ny, nx, nyb, nxr, rows, cols = _geometry(kit)
+
+    x_p = _pad_aligned(x.astype(jnp.float32), ny, nx, nyb, nxr)
+    pad2 = ((0, nyb - ny), (0, nxr - nx))
+    W = jnp.pad(op.W, ((0, 0),) + pad2)
+    diag = jnp.pad(op.diag, pad2)
+    unk = jnp.pad(op.unknown, pad2, constant_values=False)
+
+    S = kit.S
+    y = pl.pallas_call(
+        functools.partial(_matvec_kernel, kit, nxr),
+        grid=(nyb // _BY_MV,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # x (resident)
+            pl.BlockSpec((S, _BY_MV, nxr), lambda i: (0, i, 0),         # W row slab
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # diag
+            pl.BlockSpec(memory_space=pltpu.VMEM),                      # unknown
+        ],
+        out_specs=pl.BlockSpec((_BY_MV, nxr), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nyb, nxr), jnp.float32),
+    )(x_p, W, diag, unk)
+    return y[:ny, :nx]

@@ -517,18 +517,23 @@ def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
                                         unique_indices=True,
                                         indices_are_sorted=True)
 
+    # truncated-Neumann preconditioner (see ops/ard_implicit.implicit_step)
     inv_diag = 1.0 / (1.0 - dt * op.diag)
 
-    def precond(x):
+    def jacobi(x):
         return jnp.where(op.unknown, x * inv_diag, x)
 
+    def precond(x):
+        y = jacobi(x)
+        for _ in range(2):
+            y = y + jacobi(x - A(y))
+        return y
+
+    from .ops.gmres import gmres
+
     b = jnp.where(op.fict, 0.0, C_old)
-    x, _ = jax.scipy.sparse.linalg.gmres(
-        A, b, x0=C_old, tol=tol, atol=0.0, restart=restart,
-        maxiter=maxiter // restart if maxiter >= restart else 1,
-        M=precond, solve_method="batched",
-    )
-    res = jnp.linalg.norm(A(x) - b) / jnp.maximum(jnp.linalg.norm(b), 1e-300)
+    x, (res, _cycles) = gmres(A, b, C_old, tol=tol, restart=restart,
+                              maxiter=maxiter, M=precond)
     solved = op.unknown | op.fict
     C_new = jnp.where(solved, jnp.clip(x, 0.0, cfg.C_solid_init), C_old)
     return replace(state, C=C_new), res
