@@ -40,6 +40,14 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
+    # profiling hook (tracing subsystem): PD_TPU_PROFILE=<dir> captures a
+    # jax.profiler trace of the whole run for xprof/tensorboard
+    profile_dir = os.environ.get("PD_TPU_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        import atexit
+        atexit.register(jax.profiler.stop_trace)
+
     print("Building grid...")
     if cfg.use_amr:
         from .amr import build_amr_grid

@@ -202,7 +202,9 @@ class CoupledSolver:
             if need_flow_solve:
                 print(f"  Flow re-solve triggered ({self.dissolved_since_flow} "
                       f"nodes dissolved since last flow solve)")
-                state, iters, eps, conv, div = solve_steady(state, kit)
+                verbose_flow = bool(os.environ.get("PD_TPU_VERBOSE_FLOW"))
+                state, iters, eps, conv, div = solve_steady(
+                    state, kit, verbose=verbose_flow)
                 state = ops.update_fictitious(state, kit)  # coupling.cpp:139
                 state.rho.block_until_ready()
                 print(f"  Flow: {int(iters)} iters, eps={float(eps):.3e}, "

@@ -49,13 +49,15 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("collect_stats",))
-def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
+@partial(jax.jit, static_argnames=("verbose",))
+def solve_steady(state: State, kit: Kit, verbose: bool = False):
     """Run the flow solver to steady state entirely on device.
 
     Returns (state, iters, eps, converged, diverged). ``iters`` is the
     reference's loop variable at exit (last executed iteration on break,
-    flow_max_iters + 1 on exhaustion).
+    flow_max_iters + 1 on exhaustion). With ``verbose`` the reference's
+    per-iteration telemetry line (pd_ns.cpp:304-306) is emitted from the
+    device at the same cadence (first 10 iters + every output_every_flow).
     """
     cfg = kit.cfg
     ops = ops_for(kit)
@@ -98,6 +100,22 @@ def solve_steady(state: State, kit: Kit, collect_stats: bool = False):
         conv_new = do_check & (eps_new < cfg.flow_conv_tol) & (it > 100)
         eps = jnp.where(do_check, eps_new, eps)
         done = div_new | conv_new
+
+        if verbose:
+            do_print = (it <= 10) | (it % cfg.output_every_flow == 0)
+            rho_fl = jnp.where(fluid, st_new.rho, cfg.rho_f)
+
+            def _tell(args):
+                jax.debug.print(
+                    "  Flow iter {it}: eps={eps:.3e}  v_max={vm:.4e}  "
+                    "rho=[{rmin:.2f},{rmax:.2f}]  dt={dt:.3e}",
+                    it=args[0], eps=args[1], vm=args[2], rmin=args[3],
+                    rmax=args[4], dt=args[5])
+                return 0
+
+            jax.lax.cond(
+                do_print, _tell, lambda a: 0,
+                (it, eps_new, v_max_new, jnp.min(rho_fl), jnp.max(rho_fl), dt))
 
         # on break the reference keeps the pre-step buffers (break before swap);
         # otherwise swap and refresh AMR fictitious values (pd_ns.cpp:325-328)
