@@ -259,6 +259,8 @@ class CoupledSolver:
                 dt_corr = float(ops.ard_compute_dt(state, kit))
                 print(f"  Corrosion dt = {dt_corr:.4e} s")
 
+                # cap single device executions (see solvers.FLOW_SEGMENT_ITERS)
+                SEG = 20000
                 step = 0
                 while step < cfg.corrosion_steps_per_check and t_corr < cfg.T_final:
                     n_chunk = min(cfg.output_every_corr,
@@ -266,7 +268,11 @@ class CoupledSolver:
                     # respect T_final within the chunk
                     n_fit = int(max(1, min(n_chunk,
                                            np.ceil((cfg.T_final - t_corr) / dt_corr))))
-                    state = explicit_chunk(state, kit, dt_corr, vol_loss, n_fit)
+                    done_in_fit = 0
+                    while done_in_fit < n_fit:
+                        n_sub = min(SEG, n_fit - done_in_fit)
+                        state = explicit_chunk(state, kit, dt_corr, vol_loss, n_sub)
+                        done_in_fit += n_sub
                     t_corr += dt_corr * n_fit
                     step += n_fit
                     if n_fit == n_chunk:

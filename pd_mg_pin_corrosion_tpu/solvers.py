@@ -49,19 +49,24 @@ def _select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-@partial(jax.jit, static_argnames=("verbose",))
-def solve_steady(state: State, kit: Kit, verbose: bool = False):
-    """Run the flow solver to steady state entirely on device.
+# Iterations per device execution. The flow loop is split into host-driven
+# segments: a single multi-minute XLA execution (e.g. flow_max_iters=200000
+# at production sizes) kills the TPU relay worker ("UNAVAILABLE: TPU worker
+# process crashed"); ~2000-iteration segments stay well under the deadline
+# and cost only one host sync each.
+FLOW_SEGMENT_ITERS = 2000
 
-    Returns (state, iters, eps, converged, diverged). ``iters`` is the
-    reference's loop variable at exit (last executed iteration on break,
-    flow_max_iters + 1 on exhaustion). With ``verbose`` the reference's
-    per-iteration telemetry line (pd_ns.cpp:304-306) is emitted from the
-    device at the same cadence (first 10 iters + every output_every_flow).
+
+@partial(jax.jit, static_argnames=("verbose",))
+def _solve_steady_segment(carry, seg_end, kit: Kit, verbose: bool = False):
+    """Up to FLOW_SEGMENT_ITERS flow iterations on device (while_loop).
+
+    Semantics are exactly the reference loop's (pd_ns.cpp:182-372): check
+    cadence, early-exit buffer handling and dt refresh key off the *global*
+    iteration counter carried across segments.
     """
     cfg = kit.cfg
     ops = ops_for(kit)
-    dt0 = ops.compute_dt_ns(state, kit)
 
     def pre_bcs(st):
         st = ops.apply_inlet_bc(st, kit)
@@ -72,7 +77,7 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False):
 
     def cond(carry):
         _, it, _, _, conv, div = carry
-        return (it <= cfg.flow_max_iters) & ~conv & ~div
+        return (it <= jnp.minimum(seg_end, cfg.flow_max_iters)) & ~conv & ~div
 
     def body(carry):
         st, it, eps, dt, conv, div = carry
@@ -127,13 +132,37 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False):
 
         return (st_next, it + 1, eps, dt_next, conv_new, div_new)
 
-    init = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype), dt0,
-            jnp.asarray(False), jnp.asarray(False))
-    st, it, eps, _, conv, div = jax.lax.while_loop(cond, body, init)
+    return jax.lax.while_loop(cond, body, carry)
 
+
+def solve_steady(state: State, kit: Kit, verbose: bool = False):
+    """Run the flow solver to steady state (host-segmented device loops).
+
+    Returns (state, iters, eps, converged, diverged). ``iters`` is the
+    reference's loop variable at exit (last executed iteration on break,
+    flow_max_iters + 1 on exhaustion). With ``verbose`` the reference's
+    per-iteration telemetry line (pd_ns.cpp:304-306) is emitted from the
+    device at the same cadence (first 10 iters + every output_every_flow).
+    """
+    cfg = kit.cfg
+    ops = ops_for(kit)
+    dt0 = jax.jit(ops.compute_dt_ns)(state, kit)
+
+    carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype),
+             dt0, jnp.asarray(False), jnp.asarray(False))
+    seg_end = 0
+    while True:
+        seg_end = min(seg_end + FLOW_SEGMENT_ITERS, cfg.flow_max_iters)
+        carry = _solve_steady_segment(
+            carry, jnp.asarray(seg_end, jnp.int32), kit, verbose)
+        _, it, _, _, conv, div = carry
+        if bool(conv) or bool(div) or int(it) > cfg.flow_max_iters:
+            break
+
+    st, it, eps, _, conv, div = carry
     # exit bookkeeping: broken iterations report the iteration that broke
     iters = jnp.where(conv | div, it - 1, it)
-    st = replace(st, pressure=ops.tait_pressure(st.rho, kit))
+    st = replace(st, pressure=jax.jit(ops.tait_pressure)(st.rho, kit))
     return st, iters, eps, conv, div
 
 
