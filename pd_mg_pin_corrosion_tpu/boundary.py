@@ -39,52 +39,107 @@ def _shift_masked_sum(kit: Kit, value_p, pred_p):
     return total, count
 
 
+def _band_masked_sums(kit: Kit, values, pred, start: bool):
+    """Neighbor sums restricted to the static inlet/outlet axial band.
+
+    The INLET/OUTLET ghost layers occupy fixed leading/trailing rows of the
+    axial array axis (kit.inlet_rows / kit.outlet_rows), so their neighbor
+    averages only need a thin slab of rows — these BCs run every flow
+    iteration and a full-grid sweep would cost a third of an ns_step each.
+
+    values: list of arrays; returns (band_slice, [totals...], count) where
+    each total/count has the band's shape.
+    """
+    mext = kit.mext
+    n0 = kit.shape[0]
+    if start:
+        lo, hi = 0, kit.inlet_rows
+        src_lo = 0
+        src_hi = min(n0, hi + mext)
+    else:
+        lo, hi = kit.outlet_rows, n0
+        src_lo = max(0, lo - mext)
+        src_hi = n0
+    band_n = hi - lo
+    off0 = lo - src_lo
+    ndim_sp = len(kit.shape)
+    pads = [(mext, mext)] * ndim_sp
+
+    pr_p = jnp.pad(pred[src_lo:src_hi], pads)
+
+    def band_shift(Ap, s):
+        off = kit.offsets[s]
+        idx = (slice(mext + off[0] + off0, mext + off[0] + off0 + band_n),) + tuple(
+            slice(mext + off[a], mext + off[a] + kit.shape[a])
+            for a in range(1, ndim_sp)
+        )
+        return Ap[idx]
+
+    totals = [None] * len(values)
+    count = None
+    vals_p = [jnp.pad(v[src_lo:src_hi], pads) for v in values]
+    for s, _, _, _ in kit.bond_iter():
+        pj = band_shift(pr_p, s)
+        count = pj if count is None else count + pj
+        for i, vp in enumerate(vals_p):
+            t = band_shift(vp, s) * pj
+            totals[i] = t if totals[i] is None else totals[i] + t
+    return slice(lo, hi), totals, count
+
+
 def apply_inlet_bc(state: State, kit: Kit) -> State:
     """Prescribed Poiseuille velocity, rho extrapolated, fresh SBF C
-    (boundary.cpp:31-75)."""
+    (boundary.cpp:31-75). Neighbor averages are band-limited to the static
+    inlet ghost rows."""
     cfg = kit.cfg
+    if kit.inlet_rows == 0:
+        return state
     inlet = kit.inlet_mask
 
-    # velocity: axial Poiseuille, zero transverse
-    v_in = jnp.zeros_like(state.vel)
-    v_in = v_in.at[..., kit.axial_comp].set(kit.v_pois)
-    vel = jnp.where(inlet[..., None], v_in, state.vel)
-
-    # density: average over FLUID neighbors (dynamic mask), else rho_f
     fluid = (state.node_type == FLUID).astype(kit.jdtype)
-    rho_p = kit.pad(state.rho, 0.0)
-    fl_p = kit.pad(fluid, 0.0)
-    tot, cnt = _shift_masked_sum(kit, rho_p, fl_p)
-    rho_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), cfg.rho_f)
-    rho = jnp.where(inlet, rho_avg, state.rho)
+    band, (tot,), cnt = _band_masked_sums(kit, [state.rho], fluid, start=True)
 
-    C = jnp.where(inlet, cfg.C_liquid_init, state.C)
+    inlet_b = inlet[band]
+    rho_avg = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), cfg.rho_f)
+    rho = state.rho.at[band].set(
+        jnp.where(inlet_b, rho_avg.astype(state.rho.dtype), state.rho[band]))
+
+    v_in_b = jnp.zeros_like(state.vel[band]).at[..., kit.axial_comp].set(
+        kit.v_pois[band])
+    vel = state.vel.at[band].set(
+        jnp.where(inlet_b[..., None], v_in_b, state.vel[band]))
+    C = state.C.at[band].set(
+        jnp.where(inlet_b, cfg.C_liquid_init, state.C[band]))
     return replace(state, vel=vel, rho=rho, C=C)
 
 
 def apply_outlet_bc(state: State, kit: Kit) -> State:
     """Pressure outlet: rho=rho_f (=> p=0), zero-gradient v (axial only) and C
-    (boundary.cpp:88-131)."""
+    (boundary.cpp:88-131). Band-limited to the static outlet ghost rows."""
     cfg = kit.cfg
+    if kit.outlet_rows >= kit.shape[0]:
+        return state
     outlet = kit.outlet_mask
     ax = kit.axial_comp
 
-    rho = jnp.where(outlet, cfg.rho_f, state.rho)
-
     pred = ((state.node_type == FLUID) | (state.node_type == OUTLET)).astype(kit.jdtype)
-    pred_p = kit.pad(pred, 0.0)
+    band, (v_tot, C_tot), cnt = _band_masked_sums(
+        kit, [state.vel[..., ax], state.C], pred, start=False)
 
-    vax_p = kit.pad(state.vel[..., ax], 0.0)
-    v_tot, cnt = _shift_masked_sum(kit, vax_p, pred_p)
-    C_tot, _ = _shift_masked_sum(kit, kit.pad(state.C, 0.0), pred_p)
-
+    outlet_b = outlet[band]
     safe_cnt = jnp.maximum(cnt, 1.0)
     v_ax = jnp.where(cnt > 0, v_tot / safe_cnt, cfg.U_in)
     C_avg = jnp.where(cnt > 0, C_tot / safe_cnt, 0.0)
 
-    v_out = jnp.zeros_like(state.vel).at[..., ax].set(v_ax)
-    vel = jnp.where(outlet[..., None], v_out, state.vel)
-    C = jnp.where(outlet, C_avg, state.C)
+    rho = state.rho.at[band].set(
+        jnp.where(outlet_b, jnp.asarray(cfg.rho_f, state.rho.dtype),
+                  state.rho[band]))
+    v_out_b = jnp.zeros_like(state.vel[band]).at[..., ax].set(
+        v_ax.astype(state.vel.dtype))
+    vel = state.vel.at[band].set(
+        jnp.where(outlet_b[..., None], v_out_b, state.vel[band]))
+    C = state.C.at[band].set(
+        jnp.where(outlet_b, C_avg.astype(state.C.dtype), state.C[band]))
     return replace(state, rho=rho, vel=vel, C=C)
 
 

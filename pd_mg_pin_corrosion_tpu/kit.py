@@ -46,7 +46,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
         "initial_solid_mask",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
-                 "vol", "dtype"],
+                 "vol", "dtype", "inlet_rows", "outlet_rows"],
 )
 @dataclass(frozen=True)
 class Kit:
@@ -71,6 +71,12 @@ class Kit:
     evec: tuple      # S x dim float tuples, coordinate order (x, y[, z])
     vol: tuple       # S floats (beta * dx^dim)
     dtype: str       # 'float32' | 'float64'
+    # static axial band extents: INLET nodes live in rows [0, inlet_rows),
+    # OUTLET nodes in rows [outlet_rows, end) of the leading array axis —
+    # the ghost layers are geometric and never change, so BC neighbor sums
+    # can run on thin slabs instead of the full grid (see boundary.py)
+    inlet_rows: int
+    outlet_rows: int
 
     # ------------------------------------------------------------------
     @property
@@ -141,6 +147,13 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     near_inlet = (y - y_min_fluid) < cfg.delta
     near_outlet = (y_max_fluid - y) < cfg.delta
 
+    # axial band extents of the static INLET/OUTLET ghost layers
+    axes_rest = tuple(range(1, nt.ndim))
+    inlet_any = (nt == INLET).any(axis=axes_rest)
+    outlet_any = (nt == OUTLET).any(axis=axes_rest)
+    inlet_rows = int(np.flatnonzero(inlet_any).max() + 1) if inlet_any.any() else 0
+    outlet_rows = int(np.flatnonzero(outlet_any).min()) if outlet_any.any() else nt.shape[0]
+
     st = grid.stencil
     return Kit(
         inlet_mask=jnp.asarray(nt == INLET),
@@ -161,4 +174,6 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         evec=tuple(tuple(float(v) for v in row) for row in st.evec),
         vol=tuple(float(v) for v in st.vol),
         dtype=dtype,
+        inlet_rows=inlet_rows,
+        outlet_rows=outlet_rows,
     )
