@@ -163,6 +163,9 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
     cfg = kit.cfg
     if tol is None:
         tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
+    if kit.jdtype != jnp.float64:
+        # shorter cycles keep the f32 Krylov basis well-conditioned
+        restart = min(restart, 25)
     dt = jnp.asarray(dt, kit.jdtype)
     C_old = state.C
 

@@ -34,45 +34,51 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
     if M is None:
         M = lambda v: v
 
+    # All vector operations preserve the operand's natural array shape (and
+    # hence its sharding under SPMD) — the Krylov basis carries the field
+    # shape on trailing axes; raveling/reshaping sharded fields scrambles
+    # layouts and was observed to break convergence on device meshes.
     shape = b.shape
-    n = b.size
-    bf = b.ravel()
     m = restart
     n_cycles = max(1, -(-maxiter // restart))
 
-    b_norm = jnp.linalg.norm(bf)
+    def vdot(a, c):
+        return jnp.sum(a * c)
+
+    def norm(a):
+        return jnp.sqrt(vdot(a, a))
+
+    b_norm = norm(b)
     safe_b = jnp.maximum(b_norm, 1e-300)
 
-    def Aop(v):
-        return A(v.reshape(shape)).ravel()
-
-    def Mop(v):
-        return M(v.reshape(shape)).ravel()
-
     def arnoldi_cycle(x):
-        r = bf - Aop(x)
-        beta = jnp.linalg.norm(r)
+        r = b - A(x)
+        beta = norm(r)
         safe_beta = jnp.maximum(beta, 1e-300)
 
-        V = jnp.zeros((m + 1, n), bf.dtype)
+        V = jnp.zeros((m + 1,) + shape, b.dtype)
         V = V.at[0].set(r / safe_beta)
-        H = jnp.zeros((m + 1, m), bf.dtype)
+        H = jnp.zeros((m + 1, m), b.dtype)
 
         def step(j, carry):
             V, H = carry
-            w = Aop(Mop(V[j]))
+            w = A(M(V[j]))
 
-            # modified Gram-Schmidt against v_0..v_j (masked full loop)
+            # modified Gram-Schmidt against v_0..v_j (masked full loop) with
+            # one re-orthogonalization pass — in f32 a single MGS sweep loses
+            # orthogonality on stiff operators and the cycle update can
+            # regress instead of converge
             def mgs(i, wh):
                 w, h = wh
-                coef = jnp.where(i <= j, jnp.dot(V[i], w), 0.0)
+                coef = jnp.where(i <= j, vdot(V[i], w), 0.0)
                 w = w - coef * V[i]
-                h = h.at[i].set(coef)
+                h = h.at[i].add(coef)
                 return (w, h)
 
             w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
-                                        (w, jnp.zeros(m + 1, bf.dtype)))
-            h_last = jnp.linalg.norm(w)
+                                        (w, jnp.zeros(m + 1, b.dtype)))
+            w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (w, hcol))
+            h_last = norm(w)
             hcol = hcol.at[j + 1].set(h_last)
             v_next = w / jnp.maximum(h_last, 1e-300)
             # happy breakdown: keep a zero vector, lstsq handles the rest
@@ -84,9 +90,9 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
         V, H = jax.lax.fori_loop(0, m, step, (V, H))
 
         # least squares: min || beta*e1 - H y ||
-        e1 = jnp.zeros(m + 1, bf.dtype).at[0].set(beta)
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
-        dx = Mop(V[:m].T @ y)
+        dx = M(jnp.tensordot(y, V[:m], axes=([0], [0])))
         return x + dx
 
     def cond(carry):
@@ -94,12 +100,17 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
         return (k < n_cycles) & (res > tol)
 
     def body(carry):
-        x, k, _ = carry
-        x = arnoldi_cycle(x)
-        res = jnp.linalg.norm(bf - Aop(x)) / safe_b
+        x, k, res = carry
+        x_new = arnoldi_cycle(x)
+        res_new = norm(b - A(x_new)) / safe_b
+        # monotone restarts: never accept a cycle that increased the residual
+        # (possible under finite-precision basis loss)
+        better = res_new < res
+        x = jax.tree.map(lambda a, c: jnp.where(better, a, c), x_new, x)
+        res = jnp.minimum(res_new, res)
         return (x, k + 1, res)
 
-    res0 = jnp.linalg.norm(bf - Aop(x0.ravel())) / safe_b
+    res0 = norm(b - A(x0)) / safe_b
     x, k, res = jax.lax.while_loop(
-        cond, body, (x0.ravel(), jnp.asarray(0, jnp.int32), res0))
-    return x.reshape(shape), (res, k)
+        cond, body, (x0, jnp.asarray(0, jnp.int32), res0))
+    return x, (res, k)

@@ -58,8 +58,22 @@ def _geometry(kit: Kit):
     return ny, nx, nyb, nxr, rows, cols
 
 
+# set True to force the XLA paths (e.g. when running on a CPU device mesh
+# while the default backend is TPU — Mosaic kernels only lower on TPU)
+FORCE_DISABLE = False
+
+
+def _on_tpu() -> bool:
+    if FORCE_DISABLE:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def pallas_applicable(kit: Kit) -> bool:
-    if not HAVE_PALLAS or kit.dim != 2 or kit.jdtype != jnp.float32:
+    if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
         return False
     if kit.mext > _PR:
         return False
@@ -223,7 +237,7 @@ def ns_step_auto(state: State, kit: Kit, dt) -> State:
 
 
 def matvec_applicable(kit: Kit) -> bool:
-    if not HAVE_PALLAS or kit.dim != 2 or kit.jdtype != jnp.float32:
+    if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
         return False
     if kit.mext > _PR:
         return False

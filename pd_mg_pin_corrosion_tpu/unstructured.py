@@ -504,6 +504,8 @@ def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
     cfg = kit.cfg
     if tol is None:
         tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
+    if kit.jdtype != jnp.float64:
+        restart = min(restart, 25)  # f32 Krylov-basis conditioning
     dt = jnp.asarray(dt, kit.jdtype)
     C_old = state.C
 
