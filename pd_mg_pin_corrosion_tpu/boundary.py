@@ -148,21 +148,27 @@ def _wall_mirror(state: State, kit: Kit, rho, vel):
 
     Velocity antisymmetric (no-slip), density symmetric; fallback (no mirror
     source) pins vel=0, rho=rho_f.
+
+    Every wall node's mirror source is a nearby lattice node, so the
+    "gather" is a handful of jnp.roll's with per-offset masks (precomputed
+    in build_kit) — a full-array gather costs ~10x an entire NS step on
+    TPU. Roll wrap-around never matters: the masks only select wall nodes
+    whose true source is in-domain.
     """
     cfg = kit.cfg
-    wall = kit.wall_mask
-    midx = kit.mirror_flat
-    has_mirror = (midx >= 0).reshape(kit.shape)
-    gather_idx = jnp.maximum(midx, 0)
+    axes = tuple(range(len(kit.shape)))
 
-    rho_m = rho.reshape(-1)[gather_idx].reshape(kit.shape)
-    vel_m = vel.reshape(-1, kit.dim)[gather_idx].reshape(kit.shape + (kit.dim,))
+    rho_out = jnp.where(kit.mirror_none_mask, cfg.rho_f, rho)
+    vel_out = jnp.where(kit.mirror_none_mask[..., None], 0.0, vel)
 
-    rho_w = jnp.where(has_mirror, rho_m, cfg.rho_f)
-    vel_w = jnp.where(has_mirror[..., None], -vel_m, 0.0)
+    for g, off in enumerate(kit.mirror_group_offsets):
+        m = kit.mirror_group_masks[g]
+        shift = tuple(-o for o in off)
+        rho_m = jnp.roll(rho, shift, axes)
+        vel_m = jnp.roll(vel, shift + (0,), axes + (len(kit.shape),))
+        rho_out = jnp.where(m, rho_m, rho_out)
+        vel_out = jnp.where(m[..., None], -vel_m, vel_out)
 
-    rho_out = jnp.where(wall, rho_w, rho)
-    vel_out = jnp.where(wall[..., None], vel_w, vel)
     return rho_out, vel_out
 
 

@@ -43,10 +43,11 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
     data_fields=[
         "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
         "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
-        "initial_solid_mask",
+        "initial_solid_mask", "mirror_group_masks", "mirror_none_mask",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
-                 "vol", "dtype", "inlet_rows", "outlet_rows"],
+                 "vol", "dtype", "inlet_rows", "outlet_rows",
+                 "mirror_group_offsets"],
 )
 @dataclass(frozen=True)
 class Kit:
@@ -60,6 +61,12 @@ class Kit:
     v_pois: jax.Array            # [*S] analytic Poiseuille axial velocity
     mirror_flat: jax.Array       # [N] int32 flat mirror source (-1 -> none)
     initial_solid_mask: jax.Array  # [*S] bool — for volume-loss diagnostics
+    # FNM wall mirrors grouped by lattice offset: every wall node's mirror
+    # source is a nearby node, so the mirror "gather" is a handful of rolls
+    # with per-offset masks instead of a full-array gather (which costs
+    # ~10x an entire NS step on TPU)
+    mirror_group_masks: jax.Array  # [n_groups, *S] bool
+    mirror_none_mask: jax.Array    # [*S] bool — wall nodes with no source
 
     # --- static metadata ---
     cfg: Config
@@ -77,6 +84,7 @@ class Kit:
     # can run on thin slabs instead of the full grid (see boundary.py)
     inlet_rows: int
     outlet_rows: int
+    mirror_group_offsets: tuple  # n_groups x ndim int tuples (array axes)
 
     # ------------------------------------------------------------------
     @property
@@ -147,6 +155,26 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     near_inlet = (y - y_min_fluid) < cfg.delta
     near_outlet = (y_max_fluid - y) < cfg.delta
 
+    # group wall-mirror sources by lattice offset (see Kit docstring)
+    shape = nt.shape
+    midx = grid.mirror_idx.ravel()
+    has = midx >= 0
+    own = np.arange(midx.size)
+    coords_own = np.stack(np.unravel_index(own, shape), -1)
+    coords_src = np.stack(np.unravel_index(np.maximum(midx, 0), shape), -1)
+    offs = np.where(has[:, None], coords_src - coords_own, 0)
+    uniq = {}
+    for n in np.flatnonzero(has):
+        uniq.setdefault(tuple(int(v) for v in offs[n]), []).append(n)
+    group_offsets = tuple(sorted(uniq.keys()))
+    group_masks = np.zeros((max(len(group_offsets), 1),) + shape, bool)
+    for g, off in enumerate(group_offsets):
+        flat = group_masks[g].ravel()
+        flat[uniq[off]] = True
+    if not group_offsets:
+        group_offsets = ((0,) * nt.ndim,)
+    none_mask = ((nt == WALL).ravel() & ~has).reshape(shape)
+
     # axial band extents of the static INLET/OUTLET ghost layers
     axes_rest = tuple(range(1, nt.ndim))
     inlet_any = (nt == INLET).any(axis=axes_rest)
@@ -176,4 +204,7 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         dtype=dtype,
         inlet_rows=inlet_rows,
         outlet_rows=outlet_rows,
+        mirror_group_masks=jnp.asarray(group_masks),
+        mirror_none_mask=jnp.asarray(none_mask),
+        mirror_group_offsets=group_offsets,
     )

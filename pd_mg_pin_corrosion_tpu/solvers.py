@@ -89,17 +89,32 @@ def _solve_steady_segment(carry, seg_end, kit: Kit, verbose: bool = False):
             st_new = _channel_flow_corrections(st_new, kit)
 
         # --- convergence / divergence check (pd_ns.cpp:273-322) ---
+        # under lax.cond: the reductions only execute on check iterations
+        # (first 10 + every 100th), not every step
         do_check = (it <= 10) | (it % 100 == 0)
-        fluid = st_bc.node_type == FLUID
-        dv = st_new.vel - st_bc.vel
-        num = jnp.sum(jnp.where(fluid[..., None], dv * dv, 0.0))
-        den = jnp.sum(jnp.where(fluid[..., None], st_bc.vel * st_bc.vel, 0.0))
-        eps_new = jnp.where(den > 1e-30, jnp.sqrt(num / jnp.maximum(den, 1e-300)),
-                            jnp.sqrt(num))
-        vmag = jnp.linalg.norm(st_new.vel, axis=-1)
-        v_max_new = jnp.max(jnp.where(fluid, vmag, 0.0))
-        has_nan = jnp.any(jnp.where(fluid[..., None], jnp.isnan(st_new.vel), False)) | \
-            jnp.any(jnp.where(fluid, jnp.isnan(st_new.rho), False))
+
+        def run_check(_):
+            fluid = st_bc.node_type == FLUID
+            dv = st_new.vel - st_bc.vel
+            num = jnp.sum(jnp.where(fluid[..., None], dv * dv, 0.0))
+            den = jnp.sum(jnp.where(fluid[..., None],
+                                    st_bc.vel * st_bc.vel, 0.0))
+            eps_c = jnp.where(den > 1e-30,
+                              jnp.sqrt(num / jnp.maximum(den, 1e-300)),
+                              jnp.sqrt(num))
+            vmag = jnp.linalg.norm(st_new.vel, axis=-1)
+            v_max_c = jnp.max(jnp.where(fluid, vmag, 0.0))
+            has_nan = jnp.any(jnp.where(fluid[..., None],
+                                        jnp.isnan(st_new.vel), False)) | \
+                jnp.any(jnp.where(fluid, jnp.isnan(st_new.rho), False))
+            return eps_c, v_max_c, has_nan
+
+        def skip_check(_):
+            z = jnp.asarray(0.0, kit.jdtype)
+            return eps, z, jnp.asarray(False)
+
+        eps_new, v_max_new, has_nan = jax.lax.cond(
+            do_check, run_check, skip_check, None)
 
         div_new = do_check & (has_nan | (v_max_new > 100.0 * cfg.U_in))
         conv_new = do_check & (eps_new < cfg.flow_conv_tol) & (it > 100)
@@ -108,7 +123,7 @@ def _solve_steady_segment(carry, seg_end, kit: Kit, verbose: bool = False):
 
         if verbose:
             do_print = (it <= 10) | (it % cfg.output_every_flow == 0)
-            rho_fl = jnp.where(fluid, st_new.rho, cfg.rho_f)
+            rho_fl = jnp.where(st_bc.node_type == FLUID, st_new.rho, cfg.rho_f)
 
             def _tell(args):
                 jax.debug.print(
