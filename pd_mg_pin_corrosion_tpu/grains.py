@@ -149,10 +149,10 @@ def generate(grid: Grid, cfg: Config, seed: int = 42) -> GrainStructure:
     # when available, chunked numpy otherwise (reference is brute-force
     # O(N_solid * n_grains))
     sp = pos_flat[solid_nodes]
+    chunk = 65536
     from . import native
     assigned = native.voronoi_assign(sp, seed_pos)
     if assigned is None:
-        chunk = 65536
         assigned = np.empty(solid_nodes.size, dtype=np.int32)
         for lo in range(0, solid_nodes.size, chunk):
             hi = min(lo + chunk, solid_nodes.size)
