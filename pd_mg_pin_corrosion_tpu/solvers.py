@@ -163,11 +163,15 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False):
     ops = ops_for(kit)
     dt0 = jax.jit(ops.compute_dt_ns)(state, kit)
 
+    # gather-based (unstructured/AMR) iterations are ~10x costlier than
+    # stencil-shift ones; keep device executions equally short
+    seg_iters = FLOW_SEGMENT_ITERS if is_structured(kit) else FLOW_SEGMENT_ITERS // 8
+
     carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype),
              dt0, jnp.asarray(False), jnp.asarray(False))
     seg_end = 0
     while True:
-        seg_end = min(seg_end + FLOW_SEGMENT_ITERS, cfg.flow_max_iters)
+        seg_end = min(seg_end + seg_iters, cfg.flow_max_iters)
         carry = _solve_steady_segment(
             carry, jnp.asarray(seg_end, jnp.int32), kit, verbose)
         _, it, _, _, conv, div = carry
