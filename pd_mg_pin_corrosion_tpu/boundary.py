@@ -8,7 +8,10 @@ mirror-index table precomputed in grid.py.
 One deliberate semantic cleanup: the reference's outlet BC reads neighbor
 OUTLET values while other threads overwrite them (boundary.cpp:104-111, a
 benign data race under OpenMP). Here all reads are from the input snapshot,
-which is the race-free fixed point of the same update.
+which is the race-free fixed point of the same update. For <=1e-6
+diagnostics parity the cfg.gs_parity mode instead reproduces the 1-thread
+reference exactly: sequential in-place sweeps in node-index order (the
+_gs_* functions), using the tables precomputed in kit._gs_tables.
 """
 
 from __future__ import annotations
@@ -113,10 +116,54 @@ def apply_inlet_bc(state: State, kit: Kit) -> State:
     return replace(state, vel=vel, rho=rho, C=C)
 
 
+def _gs_outlet_bc(state: State, kit: Kit) -> State:
+    """Sequential in-place outlet sweep in reference node order.
+
+    Reproduces boundary.cpp:88-131 as executed under one OpenMP thread: each
+    OUTLET node's neighbor average reads the *partially updated* values of
+    lower-index OUTLET neighbors (Gauss-Seidel). Arithmetic matches the
+    reference exactly: velocity uses v_tot * (1/count), C uses C_tot / count.
+    Only used in gs_parity mode — O(B_outlet) sequential, tiny B.
+    """
+    cfg = kit.cfg
+    dim = kit.dim
+    ax = kit.axial_comp
+    dt = kit.jdtype
+    Cf = state.C.reshape(-1)
+    vf = state.vel.reshape(-1, dim)
+    ntf = state.node_type.reshape(-1)
+    idx, nbr, valid = kit.gs_out_idx, kit.gs_out_nbr, kit.gs_out_valid
+
+    def body(b, carry):
+        Cf, vf = carry
+        i = idx[b]
+        js = nbr[b]
+        tj = ntf[js]
+        sel = valid[b] & ((tj == FLUID) | (tj == OUTLET))
+        selw = sel.astype(dt)
+        cnt = selw.sum()
+        inv_c = 1.0 / jnp.maximum(cnt, 1.0)
+        v_ax = (vf[js, ax] * selw).sum() * inv_c
+        C_avg = (Cf[js] * selw).sum() / jnp.maximum(cnt, 1.0)
+        has = cnt > 0
+        v_new = jnp.zeros((dim,), vf.dtype).at[ax].set(
+            jnp.where(has, v_ax, cfg.U_in))
+        return (Cf.at[i].set(jnp.where(has, C_avg, 0.0)),
+                vf.at[i].set(v_new))
+
+    Cf, vf = jax.lax.fori_loop(0, idx.shape[0], body, (Cf, vf))
+    rho = jnp.where(kit.outlet_mask,
+                    jnp.asarray(cfg.rho_f, state.rho.dtype), state.rho)
+    return replace(state, rho=rho, C=Cf.reshape(state.C.shape),
+                   vel=vf.reshape(state.vel.shape))
+
+
 def apply_outlet_bc(state: State, kit: Kit) -> State:
     """Pressure outlet: rho=rho_f (=> p=0), zero-gradient v (axial only) and C
     (boundary.cpp:88-131). Band-limited to the static outlet ghost rows."""
     cfg = kit.cfg
+    if cfg.gs_parity:
+        return _gs_outlet_bc(state, kit)
     if kit.outlet_rows >= kit.shape[0]:
         return state
     outlet = kit.outlet_mask
@@ -187,6 +234,34 @@ def apply_wall_concentration_bc(state: State, kit: Kit) -> State:
     return replace(state, C=C)
 
 
+def _gs_smooth(state: State, kit: Kit) -> State:
+    """Sequential in-place smoothing sweep in reference node order
+    (boundary.cpp:332-376 under one thread): near-band FLUID nodes read the
+    already-updated C of lower-index band neighbors. gs_parity mode only."""
+    dt = kit.jdtype
+    Cf = state.C.reshape(-1)
+    ntf = state.node_type.reshape(-1)
+    idx, nbr, valid = kit.gs_smo_idx, kit.gs_smo_nbr, kit.gs_smo_valid
+    near_in, near_out = kit.gs_smo_near_in, kit.gs_smo_near_out
+    # static per-slot axial offset sign: yj > y <=> positive axial offset
+    sgn = jnp.asarray([o[0] for o in kit.offsets], jnp.int32)
+
+    def body(b, Cf):
+        i = idx[b]
+        js = nbr[b]
+        fl = valid[b] & (ntf[js] == FLUID)
+        # reference else-if: outlet branch (yj < y) first, then inlet (yj > y)
+        use = fl & ((near_out[b] & (sgn < 0)) | (near_in[b] & (sgn > 0)))
+        usew = use.astype(dt)
+        cnt = usew.sum()
+        c_avg = (Cf[js] * usew).sum() / jnp.maximum(cnt, 1.0)
+        upd = (ntf[i] == FLUID) & (cnt > 0)
+        return Cf.at[i].set(jnp.where(upd, c_avg, Cf[i]))
+
+    Cf = jax.lax.fori_loop(0, idx.shape[0], body, Cf)
+    return replace(state, C=Cf.reshape(state.C.shape))
+
+
 def smooth_boundary_concentration(state: State, kit: Kit) -> State:
     """Replace C of FLUID nodes within delta of inlet/outlet by the interior-
     side fluid-neighbor average (boundary.cpp:332-376).
@@ -194,6 +269,8 @@ def smooth_boundary_concentration(state: State, kit: Kit) -> State:
     The interior-side test (y_j vs y_i) is static per stencil slot: the
     neighbor's axial offset sign decides it.
     """
+    if kit.cfg.gs_parity:
+        return _gs_smooth(state, kit)
     fluid = state.node_type == FLUID
     fluid_f = fluid.astype(kit.jdtype)
     C_p = kit.pad(state.C, 0.0)

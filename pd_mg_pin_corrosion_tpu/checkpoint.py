@@ -9,6 +9,7 @@ cycle instead of t=0.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import json
 import os
 
@@ -17,21 +18,57 @@ import numpy as np
 
 from .fields import State
 
+# config keys that may legitimately differ between the writing and resuming
+# run (IO/cadence settings and the stop time — none affect whether the
+# stored state is compatible with the resuming run's physics)
+_IO_KEYS = frozenset({
+    "output_dir", "resume_from", "checkpoint_every", "implicit_output_every",
+    "diagnostic_every", "output_every_flow", "output_every_corr", "T_final",
+})
 
-def save_checkpoint(path: str, state: State, t_corr: float, meta: dict) -> None:
+
+def fingerprint(cfg, grid) -> str:
+    """Hash of the physics config + grid identity. Stored in every
+    checkpoint and verified on resume: a state restored onto a different
+    grid or parameter set silently produces garbage otherwise."""
+    cfg_items = {
+        f.name: getattr(cfg, f.name)
+        for f in dataclasses.fields(cfg) if f.name not in _IO_KEYS
+    }
+    h = hashlib.sha256()
+    h.update(json.dumps(cfg_items, sort_keys=True, default=str).encode())
+    h.update(np.int64(grid.node_type.size).tobytes())
+    h.update(np.asarray(grid.node_type.shape, np.int64).tobytes())
+    h.update(np.ascontiguousarray(grid.node_type).tobytes())
+    return h.hexdigest()
+
+
+def save_checkpoint(path: str, state: State, t_corr: float, meta: dict,
+                    fp: str = "") -> None:
     arrays = {f.name: np.asarray(getattr(state, f.name))
               for f in dataclasses.fields(State)}
     tmp = path + ".tmp"
-    np.savez_compressed(tmp, t_corr=t_corr, meta=json.dumps(meta), **arrays)
+    np.savez_compressed(tmp, t_corr=t_corr, meta=json.dumps(meta),
+                        fingerprint=fp, **arrays)
     # numpy appends .npz to names without it
     actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
     os.replace(actual_tmp, path)
     print(f"  Checkpoint written: {path} (t={t_corr:.1f} s)")
 
 
-def load_checkpoint(path: str, template: State):
-    """Returns (state, t_corr, meta). ``template`` supplies dtypes."""
+def load_checkpoint(path: str, template: State, fp: str = ""):
+    """Returns (state, t_corr, meta). ``template`` supplies dtypes.
+
+    If both the checkpoint and the caller provide a fingerprint, they must
+    match — resuming with a mismatched config/grid is refused.
+    """
     with np.load(path, allow_pickle=False) as z:
+        stored_fp = str(z["fingerprint"]) if "fingerprint" in z else ""
+        if fp and stored_fp and fp != stored_fp:
+            raise ValueError(
+                f"checkpoint {path} was written for a different config/grid "
+                f"(fingerprint {stored_fp[:12]}… != expected {fp[:12]}…); "
+                f"refusing to resume")
         kwargs = {}
         for f in dataclasses.fields(State):
             ref = getattr(template, f.name)

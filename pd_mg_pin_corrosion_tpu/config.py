@@ -110,6 +110,12 @@ class Config:
     precision: str = "f32"
     checkpoint_every: int = 0
     resume_from: str = ""
+    # Gauss-Seidel parity mode: reproduce the reference's in-place sequential
+    # outlet/smoothing sweeps (src/boundary.cpp:88-131,332-376 under one
+    # OpenMP thread) instead of the functional Jacobi form. Needed only for
+    # <=1e-6 diagnostics parity runs; off for production (Jacobi shares the
+    # same fixed point and vectorizes).
+    gs_parity: int = 0
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -141,7 +147,7 @@ class Config:
             "output_every_flow", "output_every_corr", "use_implicit",
             "implicit_output_every", "diagnostic_every", "newton_max_iter",
             "channel_flow_corrections", "use_amr", "amr_ratio",
-            "dim", "checkpoint_every",
+            "dim", "checkpoint_every", "gs_parity",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})

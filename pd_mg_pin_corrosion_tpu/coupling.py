@@ -172,9 +172,10 @@ class CoupledSolver:
         cycle = 0
 
         # checkpoint/resume (new capability)
-        from .checkpoint import load_checkpoint, save_checkpoint
+        from .checkpoint import fingerprint, load_checkpoint, save_checkpoint
+        fp = fingerprint(cfg, grid)
         if cfg.resume_from:
-            state, t_corr, meta = load_checkpoint(cfg.resume_from, state)
+            state, t_corr, meta = load_checkpoint(cfg.resume_from, state, fp)
             self.total_implicit_steps = meta.get("total_implicit_steps", 0)
             self.total_dissolved = meta.get("total_dissolved", 0)
             cycle = meta.get("cycle", 0)
@@ -275,7 +276,11 @@ class CoupledSolver:
                         done_in_fit += n_sub
                     t_corr += dt_corr * n_fit
                     step += n_fit
-                    if n_fit == n_chunk:
+                    # full chunks follow the reference's output cadence
+                    # (coupling.cpp:242-249); a final chunk truncated by
+                    # T_final still gets its diagnostics row so the run's
+                    # endpoint is always logged
+                    if n_fit == n_chunk or t_corr >= cfg.T_final:
                         self._write_state(cfg, grid, state, "corr", t_corr,
                                           self.writer)
                         self._write_diagnostics(cfg, t_corr,
@@ -298,7 +303,8 @@ class CoupledSolver:
                 save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                                 {"cycle": cycle,
                                  "total_implicit_steps": self.total_implicit_steps,
-                                 "total_dissolved": self.total_dissolved})
+                                 "total_dissolved": self.total_dissolved},
+                                fp)
 
             solid_remaining = int(jnp.sum(
                 (state.node_type == SOLID_MG).astype(jnp.int32)))

@@ -279,6 +279,24 @@ def _build_mirror_table(cfg, node_type, pos, origin, Nx, Ny, Nz, stencil) -> np.
     if wall_flat.size == 0:
         return mirror.reshape(shape)
 
+    # Staleness guard for assumption (c): the table is only static if no WALL
+    # node's horizon contains a dissolving (SOLID_MG) node — otherwise the
+    # nearest-FLUID fallback could change as the wire dissolves and the
+    # reference (which re-searches every call, boundary.cpp:253-263) would
+    # diverge from this precomputed table.
+    shp = np.asarray(shape)
+    wc = np.stack(np.unravel_index(wall_flat, shape), -1)            # [W, nd]
+    nc = wc[:, None, :] + np.asarray(stencil.offsets)[None, :, :]    # [W, S, nd]
+    inb = np.all((nc >= 0) & (nc < shp), axis=-1)
+    nflat = np.ravel_multi_index(
+        tuple(np.moveaxis(np.clip(nc, 0, shp - 1), -1, 0)), shape)
+    if np.any((flat_nt[nflat] == SOLID_MG) & inb):
+        raise ValueError(
+            "static wall-mirror table invalid: a WALL node's horizon "
+            "intersects the initial solid set (wire too close to the tube "
+            "wall: R_tube - R_wire <= delta + dx). The FNM mirror table "
+            "would go stale as the wire dissolves.")
+
     accepted = {FLUID, INLET, OUTLET, SOLID_MG}
 
     if dim == 2:

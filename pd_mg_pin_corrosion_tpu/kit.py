@@ -44,6 +44,9 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
         "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
         "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
         "initial_solid_mask", "mirror_group_masks", "mirror_none_mask",
+        "gs_out_idx", "gs_out_nbr", "gs_out_valid",
+        "gs_smo_idx", "gs_smo_nbr", "gs_smo_valid",
+        "gs_smo_near_in", "gs_smo_near_out",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
@@ -67,6 +70,18 @@ class Kit:
     # ~10x an entire NS step on TPU)
     mirror_group_masks: jax.Array  # [n_groups, *S] bool
     mirror_none_mask: jax.Array    # [*S] bool — wall nodes with no source
+    # Gauss-Seidel parity tables (empty unless cfg.gs_parity): flat node
+    # indices in reference order (ascending flat == the reference's idx order,
+    # grid.h:58-64) plus per-node padded stencil-neighbor indices, for the
+    # sequential in-place outlet/smoothing sweeps (boundary.py _gs_*).
+    gs_out_idx: jax.Array        # [Bo] int32 OUTLET nodes
+    gs_out_nbr: jax.Array        # [Bo, S] int32 flat neighbor indices
+    gs_out_valid: jax.Array      # [Bo, S] bool (in-bounds & not OUTSIDE)
+    gs_smo_idx: jax.Array        # [Bs] int32 near-inlet/outlet band nodes
+    gs_smo_nbr: jax.Array        # [Bs, S] int32
+    gs_smo_valid: jax.Array      # [Bs, S] bool
+    gs_smo_near_in: jax.Array    # [Bs] bool
+    gs_smo_near_out: jax.Array   # [Bs] bool
 
     # --- static metadata ---
     cfg: Config
@@ -138,6 +153,42 @@ class Kit:
         return zip(range(self.S), self.dist, self.evec, self.vol)
 
 
+def _gs_tables(nt: np.ndarray, offsets: np.ndarray, near_in: np.ndarray,
+               near_out: np.ndarray):
+    """Host-side flat-index tables for the Gauss-Seidel parity sweeps.
+
+    Ascending flat order == the reference's node index order (grid.h:58-64:
+    j*Nx+i in 2D, k*Nx*Ny+j*Nx+i in 3D, matching this package's C-order
+    [axial-first] layout), which is the sequential order of the reference's
+    in-place sweeps under one OpenMP thread.
+    """
+    shape = nt.shape
+    shp = np.asarray(shape)
+    nt_flat = nt.ravel()
+
+    def nbr_of(flat_idx: np.ndarray):
+        coords = np.stack(np.unravel_index(flat_idx, shape), -1)     # [B, nd]
+        nc = coords[:, None, :] + offsets[None, :, :]                # [B, S, nd]
+        inb = np.all((nc >= 0) & (nc < shp), axis=-1)
+        ncc = np.clip(nc, 0, shp - 1)
+        flat = np.ravel_multi_index(
+            tuple(np.moveaxis(ncc, -1, 0)), shape).astype(np.int32)
+        # CSR parity: OUTSIDE nodes are never neighbors (grid.cpp:196-199)
+        valid = inb & (nt_flat[flat] != OUTSIDE)
+        return flat, valid
+
+    out_idx = np.flatnonzero(nt_flat == OUTLET).astype(np.int32)
+    out_nbr, out_valid = nbr_of(out_idx)
+
+    # smoothing band: static geometry; restrict to nodes that can ever be
+    # FLUID (WALL/INLET/OUTLET/OUTSIDE never change type)
+    smo_mask = (near_in | near_out) & ((nt == FLUID) | (nt == SOLID_MG))
+    smo_idx = np.flatnonzero(smo_mask.ravel()).astype(np.int32)
+    smo_nbr, smo_valid = nbr_of(smo_idx)
+    return (out_idx, out_nbr, out_valid, smo_idx, smo_nbr, smo_valid,
+            near_in.ravel()[smo_idx], near_out.ravel()[smo_idx])
+
+
 def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     if dtype is None:
         dtype = "float64" if cfg.precision == "f64" else "float32"
@@ -183,6 +234,15 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     outlet_rows = int(np.flatnonzero(outlet_any).min()) if outlet_any.any() else nt.shape[0]
 
     st = grid.stencil
+    if cfg.gs_parity:
+        (go_i, go_n, go_v, gs_i, gs_n, gs_v, gs_ni, gs_no) = _gs_tables(
+            nt, np.asarray(st.offsets, np.int64), near_inlet, near_outlet)
+    else:
+        S = len(st.dist)
+        go_i = gs_i = np.zeros((0,), np.int32)
+        go_n = gs_n = np.zeros((0, S), np.int32)
+        go_v = gs_v = np.zeros((0, S), bool)
+        gs_ni = gs_no = np.zeros((0,), bool)
     return Kit(
         inlet_mask=jnp.asarray(nt == INLET),
         outlet_mask=jnp.asarray(nt == OUTLET),
@@ -207,4 +267,9 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         mirror_group_masks=jnp.asarray(group_masks),
         mirror_none_mask=jnp.asarray(none_mask),
         mirror_group_offsets=group_offsets,
+        gs_out_idx=jnp.asarray(go_i), gs_out_nbr=jnp.asarray(go_n),
+        gs_out_valid=jnp.asarray(go_v),
+        gs_smo_idx=jnp.asarray(gs_i), gs_smo_nbr=jnp.asarray(gs_n),
+        gs_smo_valid=jnp.asarray(gs_v),
+        gs_smo_near_in=jnp.asarray(gs_ni), gs_smo_near_out=jnp.asarray(gs_no),
     )

@@ -112,6 +112,38 @@ def test_checkpoint_roundtrip(tmp_path):
                                   np.asarray(state.node_type))
 
 
+def test_checkpoint_fingerprint_mismatch_refused(tmp_path):
+    """Resuming with a different config or grid must be refused — a silently
+    mismatched restore produces garbage."""
+    from pd_mg_pin_corrosion_tpu.checkpoint import (fingerprint,
+                                                    load_checkpoint,
+                                                    save_checkpoint)
+
+    cfg = coupled_cfg(tmp_path)
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    fp = fingerprint(cfg, grid)
+
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, 1.0, {}, fp)
+
+    # same cfg+grid: accepted; T_final/output_dir changes are resume-compatible
+    cfg_ok = coupled_cfg(tmp_path)
+    cfg_ok.T_final = 99.0
+    cfg_ok.output_dir = str(tmp_path / "elsewhere")
+    assert fingerprint(cfg_ok, grid) == fp
+    load_checkpoint(path, state, fp)
+
+    # physics key changed: refused
+    cfg_bad = coupled_cfg(tmp_path)
+    cfg_bad.D_liquid *= 2.0
+    fp_bad = fingerprint(cfg_bad, grid)
+    assert fp_bad != fp
+    with pytest.raises(ValueError, match="different config/grid"):
+        load_checkpoint(path, state, fp_bad)
+
+
 def test_coupled_resume(tmp_path):
     """checkpoint_every + resume_from through the orchestrator (new
     capability; the reference restarts from t=0)."""
