@@ -208,6 +208,27 @@ def _wall_mirror(state: State, kit: Kit, rho, vel):
     rho_out = jnp.where(kit.mirror_none_mask, cfg.rho_f, rho)
     vel_out = jnp.where(kit.mirror_none_mask[..., None], 0.0, vel)
 
+    if kit.dim == 3:
+        # Cross-section gather/scatter batched over the (sharded) z axis for
+        # the z-invariant primary columns, plus a tiny flat fallback
+        # gather — the 2D roll scheme would need ~180 offset groups here
+        # (stair-cased cylinder), i.e. ~360 full-array rolls per call.
+        Nz = kit.shape[0]
+        XS = kit.shape[1] * kit.shape[2]
+        rho2 = rho_out.reshape(Nz, XS)
+        vel2 = vel_out.reshape(Nz, XS, kit.dim)
+        # sources are never WALL nodes, so reads from the *input* fields
+        # (rho/vel) are order-independent
+        r_in = rho.reshape(Nz, XS)
+        v_in = vel.reshape(Nz, XS, kit.dim)
+        rho2 = rho2.at[:, kit.wm_dst_cols].set(r_in[:, kit.wm_src_cols])
+        vel2 = vel2.at[:, kit.wm_dst_cols].set(-v_in[:, kit.wm_src_cols])
+        rf = rho2.reshape(-1)
+        vf = vel2.reshape(-1, kit.dim)
+        rf = rf.at[kit.wm_fb_dst].set(rho.reshape(-1)[kit.wm_fb_src])
+        vf = vf.at[kit.wm_fb_dst].set(-vel.reshape(-1, kit.dim)[kit.wm_fb_src])
+        return rf.reshape(kit.shape), vf.reshape(kit.shape + (kit.dim,))
+
     for g, off in enumerate(kit.mirror_group_offsets):
         m = kit.mirror_group_masks[g]
         shift = tuple(-o for o in off)

@@ -47,6 +47,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
         "gs_out_idx", "gs_out_nbr", "gs_out_valid",
         "gs_smo_idx", "gs_smo_nbr", "gs_smo_valid",
         "gs_smo_near_in", "gs_smo_near_out",
+        "wm_src_cols", "wm_dst_cols", "wm_fb_src", "wm_fb_dst",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
@@ -82,6 +83,18 @@ class Kit:
     gs_smo_valid: jax.Array      # [Bs, S] bool
     gs_smo_near_in: jax.Array    # [Bs] bool
     gs_smo_near_out: jax.Array   # [Bs] bool
+    # 3D FNM wall mirror (structured): the roll-per-offset-group scheme that
+    # works in 2D (13 groups) explodes to ~180 groups on the stair-cased 3D
+    # cylinder — ~360 full-array rolls per wall-BC application. Instead the
+    # mirror splits into (a) PRIMARY nodes whose cross-section mirror map is
+    # identical for every z-plane: one gather + one scatter along the
+    # *unsharded* cross-section axis, batched over the sharded z axis, and
+    # (b) a small static FALLBACK set (mirror rounded into the wall band ->
+    # nearest-FLUID source, possibly dz != 0): a tiny flat gather/scatter.
+    wm_src_cols: jax.Array       # [P] int32 cross-section source columns
+    wm_dst_cols: jax.Array       # [P] int32 cross-section wall columns
+    wm_fb_src: jax.Array         # [F] int32 flat source indices
+    wm_fb_dst: jax.Array         # [F] int32 flat wall indices
 
     # --- static metadata ---
     cfg: Config
@@ -189,6 +202,41 @@ def _gs_tables(nt: np.ndarray, offsets: np.ndarray, near_in: np.ndarray,
             near_in.ravel()[smo_idx], near_out.ravel()[smo_idx])
 
 
+def _mirror_tables_3d(shape, mirror_idx: np.ndarray):
+    """Split the 3D wall-mirror table into z-invariant cross-section columns
+    and a flat fallback list (see the Kit field comments).
+
+    A cross-section column (j, i) is PRIMARY when every z-plane's wall node
+    there has a mirror in the *same* z-plane at the *same* cross-section
+    source — true for every geometrically-mirrored node (the mirror point
+    2*R_tube - r depends only on (x, y), and its accepted-type check
+    {FLUID, INLET, OUTLET, SOLID_MG} passes at every k for in-tube points).
+    Everything else (nearest-FLUID fallback, boundary.cpp:253-263) goes to
+    the flat list.
+    """
+    Nz = shape[0]
+    XS = shape[1] * shape[2]
+    mi = mirror_idx.reshape(Nz, XS)
+    has = mi >= 0
+
+    src_k = np.where(has, mi // XS, -1)
+    src_q = np.where(has, mi % XS, -1)
+    own_k = np.broadcast_to(np.arange(Nz)[:, None], (Nz, XS))
+
+    all_have = has.all(axis=0)
+    in_plane = (src_k == own_k) | ~has
+    col_invariant = all_have & in_plane.all(axis=0) & \
+        (src_q == src_q[0:1, :]).all(axis=0)
+
+    dst_cols = np.flatnonzero(col_invariant).astype(np.int32)
+    src_cols = src_q[0, dst_cols].astype(np.int32)
+
+    fb_mask = has & ~col_invariant[None, :]
+    fb_dst = np.flatnonzero(fb_mask.ravel()).astype(np.int32)
+    fb_src = mi.ravel()[fb_dst].astype(np.int32)
+    return src_cols, dst_cols, fb_src, fb_dst
+
+
 def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     if dtype is None:
         dtype = "float64" if cfg.precision == "f64" else "float32"
@@ -206,25 +254,33 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     near_inlet = (y - y_min_fluid) < cfg.delta
     near_outlet = (y_max_fluid - y) < cfg.delta
 
-    # group wall-mirror sources by lattice offset (see Kit docstring)
     shape = nt.shape
     midx = grid.mirror_idx.ravel()
     has = midx >= 0
-    own = np.arange(midx.size)
-    coords_own = np.stack(np.unravel_index(own, shape), -1)
-    coords_src = np.stack(np.unravel_index(np.maximum(midx, 0), shape), -1)
-    offs = np.where(has[:, None], coords_src - coords_own, 0)
-    uniq = {}
-    for n in np.flatnonzero(has):
-        uniq.setdefault(tuple(int(v) for v in offs[n]), []).append(n)
-    group_offsets = tuple(sorted(uniq.keys()))
-    group_masks = np.zeros((max(len(group_offsets), 1),) + shape, bool)
-    for g, off in enumerate(group_offsets):
-        flat = group_masks[g].ravel()
-        flat[uniq[off]] = True
-    if not group_offsets:
-        group_offsets = ((0,) * nt.ndim,)
     none_mask = ((nt == WALL).ravel() & ~has).reshape(shape)
+    if grid.dim == 3:
+        # 3D: z-invariant cross-section tables + flat fallback (see Kit)
+        wm_src, wm_dst, wm_fb_src, wm_fb_dst = _mirror_tables_3d(
+            shape, grid.mirror_idx)
+        group_offsets = ((0,) * nt.ndim,)
+        group_masks = np.zeros((1,) + shape, bool)
+    else:
+        # 2D: group wall-mirror sources by lattice offset (see Kit docstring)
+        wm_src = wm_dst = wm_fb_src = wm_fb_dst = np.zeros((0,), np.int32)
+        own = np.arange(midx.size)
+        coords_own = np.stack(np.unravel_index(own, shape), -1)
+        coords_src = np.stack(np.unravel_index(np.maximum(midx, 0), shape), -1)
+        offs = np.where(has[:, None], coords_src - coords_own, 0)
+        uniq = {}
+        for n in np.flatnonzero(has):
+            uniq.setdefault(tuple(int(v) for v in offs[n]), []).append(n)
+        group_offsets = tuple(sorted(uniq.keys()))
+        group_masks = np.zeros((max(len(group_offsets), 1),) + shape, bool)
+        for g, off in enumerate(group_offsets):
+            flat = group_masks[g].ravel()
+            flat[uniq[off]] = True
+        if not group_offsets:
+            group_offsets = ((0,) * nt.ndim,)
 
     # axial band extents of the static INLET/OUTLET ghost layers
     axes_rest = tuple(range(1, nt.ndim))
@@ -272,4 +328,6 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         gs_smo_idx=jnp.asarray(gs_i), gs_smo_nbr=jnp.asarray(gs_n),
         gs_smo_valid=jnp.asarray(gs_v),
         gs_smo_near_in=jnp.asarray(gs_ni), gs_smo_near_out=jnp.asarray(gs_no),
+        wm_src_cols=jnp.asarray(wm_src), wm_dst_cols=jnp.asarray(wm_dst),
+        wm_fb_src=jnp.asarray(wm_fb_src), wm_fb_dst=jnp.asarray(wm_fb_dst),
     )

@@ -68,6 +68,38 @@ def test_3d_grid():
     assert grid.stencil.size == count
 
 
+def test_3d_wall_mirror_matches_gather_oracle():
+    """The z-invariant-column + fallback mirror path (boundary._wall_mirror,
+    3D branch) must equal the direct flat-gather of grid.mirror_idx."""
+    cfg = cfg3d()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+
+    rng = np.random.default_rng(0)
+    rho = jnp.asarray(rng.uniform(900.0, 1100.0, grid.shape))
+    vel = jnp.asarray(rng.normal(size=grid.shape + (3,)))
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+
+    rho_m, vel_m = bc._wall_mirror(state, kit, rho, vel)
+
+    # oracle: per-node flat gather from the host mirror table
+    mi = grid.mirror_idx.ravel()
+    nt = grid.node_type.ravel()
+    rho_o = np.asarray(rho).ravel().copy()
+    vel_o = np.asarray(vel).reshape(-1, 3).copy()
+    has = mi >= 0
+    rho_o[has] = np.asarray(rho).ravel()[mi[has]]
+    vel_o[has] = -np.asarray(vel).reshape(-1, 3)[mi[has]]
+    none = (nt == 2) & ~has  # WALL without source
+    rho_o[none] = cfg.rho_f
+    vel_o[none] = 0.0
+
+    np.testing.assert_array_equal(np.asarray(rho_m).ravel(), rho_o)
+    np.testing.assert_array_equal(np.asarray(vel_m).reshape(-1, 3), vel_o)
+    # the fallback list must stay small relative to the primary columns
+    assert kit.wm_fb_dst.size < 0.2 * (kit.wm_dst_cols.size * grid.Nz + 1)
+
+
 def test_3d_flow_bounded():
     """Short 3D flow run stays bounded with eta_density=1.0."""
     cfg = cfg3d()
