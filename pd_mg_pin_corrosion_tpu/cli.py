@@ -27,8 +27,11 @@ def main(argv=None) -> int:
     import os
 
     import jax
-    if cfg.precision == "f64":
-        jax.config.update("jax_enable_x64", True)
+    # x64 is always enabled: f64 arrays are needed for the GMRES
+    # mixed-precision iterative refinement even in f32 production mode
+    # (ops/ard_implicit.implicit_step); all state/kit arrays remain in
+    # cfg.precision — enabling x64 only makes f64 *available*.
+    jax.config.update("jax_enable_x64", True)
 
     # persistent compilation cache: the big solve graphs (steady-flow
     # while_loop, GMRES) take minutes to compile; cache them across runs

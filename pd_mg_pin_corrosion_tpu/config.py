@@ -116,6 +116,16 @@ class Config:
     # <=1e-6 diagnostics parity runs; off for production (Jacobi shares the
     # same fixed point and vectorizes).
     gs_parity: int = 0
+    # Reproduce the reference's (dimensionally inconsistent) 3D PD Laplacian
+    # constant beta_lap = 12/(pi*delta^2) (src/pd_ns.cpp:15). The correct
+    # moment calibration in 3D is 9/(2*pi*delta^3): the second-moment of the
+    # PD kernel sum_j (f_j-f_i)/xi^2 V_j over the horizon ball is
+    # (2*pi*delta^3/9) * lap(f). The reference's value under-weights every
+    # 3D Laplacian (viscosity, delta-SPH density diffusion, ARD diffusion)
+    # by ~1e-4, which is why its own PD_DIM=3 build diverges (axial acoustic
+    # mode with effectively zero damping — see docs/PARITY.md). Default is
+    # the corrected constant; set 1 only for divergence-parity studies.
+    legacy_3d_constants: int = 0
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -147,7 +157,7 @@ class Config:
             "output_every_flow", "output_every_corr", "use_implicit",
             "implicit_output_every", "diagnostic_every", "newton_max_iter",
             "channel_flow_corrections", "use_amr", "amr_ratio",
-            "dim", "checkpoint_every", "gs_parity",
+            "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})

@@ -141,9 +141,20 @@ class Kit:
 
     @property
     def beta_lap(self) -> float:
-        """PD Laplacian constant (pd_ns.cpp:10-15)."""
+        """PD Laplacian constant.
+
+        2D: 4/(pi*delta^2) (pd_ns.cpp:12, second-moment calibrated).
+        3D: 9/(2*pi*delta^3) — the *corrected* moment calibration; the
+        reference's 12/(pi*delta^2) (pd_ns.cpp:15) is dimensionally
+        inconsistent and zeroes out all 3D Laplacians (see
+        Config.legacy_3d_constants).
+        """
         d = self.cfg.delta
-        return 4.0 / (PI * d * d) if self.dim == 2 else 12.0 / (PI * d * d)
+        if self.dim == 2:
+            return 4.0 / (PI * d * d)
+        if self.cfg.legacy_3d_constants:
+            return 12.0 / (PI * d * d)
+        return 9.0 / (2.0 * PI * d**3)
 
     # ------------------------------------------------------------------
     def pad(self, A: jax.Array, fill) -> jax.Array:

@@ -42,8 +42,17 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
     m = restart
     n_cycles = max(1, -(-maxiter // restart))
 
+    # f64 Gram-Schmidt scalars with f32 vectors: the Arnoldi dot products
+    # and the small Hessenberg least-squares run in float64 (when x64 is
+    # enabled) while Krylov vectors stay in the operand dtype. At stiff dt
+    # the f32 accumulation error over ~1e6-element reductions is what holds
+    # the attainable residual near 1e-4; f64 accumulation removes that floor
+    # at negligible cost (scalar reductions are a tiny fraction of the
+    # matvec traffic). Under x64-off this degrades gracefully to f32.
+    sdt = jnp.float64 if jax.config.jax_enable_x64 else b.dtype
+
     def vdot(a, c):
-        return jnp.sum(a * c)
+        return jnp.sum(a * c, dtype=sdt)
 
     def norm(a):
         return jnp.sqrt(vdot(a, a))
@@ -53,12 +62,13 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
 
     def arnoldi_cycle(x):
         r = b - A(x)
-        beta = norm(r)
-        safe_beta = jnp.maximum(beta, 1e-300)
+        beta = norm(r)  # sdt scalar
+        inv_beta = jnp.where(beta > 1e-30, 1.0 / jnp.maximum(beta, 1e-300),
+                             0.0).astype(b.dtype)
 
         V = jnp.zeros((m + 1,) + shape, b.dtype)
-        V = V.at[0].set(r / safe_beta)
-        H = jnp.zeros((m + 1, m), b.dtype)
+        V = V.at[0].set(r * inv_beta)
+        H = jnp.zeros((m + 1, m), sdt)
 
         def step(j, carry):
             V, H = carry
@@ -67,32 +77,34 @@ def gmres(A, b, x0, *, tol: float, restart: int, maxiter: int,
             # modified Gram-Schmidt against v_0..v_j (masked full loop) with
             # one re-orthogonalization pass — in f32 a single MGS sweep loses
             # orthogonality on stiff operators and the cycle update can
-            # regress instead of converge
+            # regress instead of converge. Dot products accumulate in sdt;
+            # the vector AXPY stays in the operand dtype.
             def mgs(i, wh):
                 w, h = wh
                 coef = jnp.where(i <= j, vdot(V[i], w), 0.0)
-                w = w - coef * V[i]
+                w = w - coef.astype(b.dtype) * V[i]
                 h = h.at[i].add(coef)
                 return (w, h)
 
             w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
-                                        (w, jnp.zeros(m + 1, b.dtype)))
+                                        (w, jnp.zeros(m + 1, sdt)))
             w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (w, hcol))
             h_last = norm(w)
             hcol = hcol.at[j + 1].set(h_last)
-            v_next = w / jnp.maximum(h_last, 1e-300)
+            inv_h = jnp.where(h_last > 1e-30,
+                              1.0 / jnp.maximum(h_last, 1e-300),
+                              0.0).astype(b.dtype)
             # happy breakdown: keep a zero vector, lstsq handles the rest
-            v_next = jnp.where(h_last > 1e-300, v_next, 0.0)
-            V = V.at[j + 1].set(v_next)
+            V = V.at[j + 1].set(w * inv_h)
             H = H.at[:, j].set(hcol)
             return (V, H)
 
         V, H = jax.lax.fori_loop(0, m, step, (V, H))
 
-        # least squares: min || beta*e1 - H y ||
-        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        # least squares in sdt: min || beta*e1 - H y ||
+        e1 = jnp.zeros(m + 1, sdt).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1, rcond=None)
-        dx = M(jnp.tensordot(y, V[:m], axes=([0], [0])))
+        dx = M(jnp.tensordot(y.astype(b.dtype), V[:m], axes=([0], [0])))
         return x + dx
 
     def cond(carry):

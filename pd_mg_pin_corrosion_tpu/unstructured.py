@@ -95,9 +95,12 @@ def build_ukit(grid: AMRGrid, cfg: Config, dtype: str | None = None) -> UKit:
     if cfg.dim == 2:
         V_H = PI * d * d
         beta = 4.0 / (PI * d * d)
+    elif cfg.legacy_3d_constants:
+        V_H = (4.0 / 3.0) * PI * d**3
+        beta = 12.0 / (PI * d * d)  # reference's broken 3D value
     else:
         V_H = (4.0 / 3.0) * PI * d**3
-        beta = 12.0 / (PI * d * d)
+        beta = 9.0 / (2.0 * PI * d**3)  # corrected (see kit.Kit.beta_lap)
 
     from .fields import poiseuille_axial
     v_pois = poiseuille_axial(cfg, grid.pos)

@@ -1,7 +1,18 @@
 #!/usr/bin/env python3
-"""Concentration plume figure: multi-panel snapshots of the dissolved-Mg
-field over time (equivalent of the reference's scripts/plot_concentration.py,
-without its hardcoded grid dimensions — sizes come from each VTI header).
+"""Dissolved-Mg concentration transport figures.
+
+Functional equivalent of the reference's scripts/plot_concentration.py
+(multi-panel publication figure: 2D plume map, centerline evolution,
+transverse profiles) plus a snapshot panel series — but grid-agnostic:
+all dimensions, origins and spacings come from each VTI header instead of
+the reference's hardcoded NX, NY = 67, 287.
+
+Outputs (into the run's output directory):
+  concentration_transport.png — (a) 2D plume at the final snapshot with the
+      pin box, tube-wall lines and profile-station markers; (b) centerline
+      C(y) for several snapshot times; (c) transverse C(x) at three axial
+      stations downstream of the pin.
+  concentration_panels.png — time series of 2D plume snapshots.
 
 Usage: python scripts/plot_concentration.py [output_dir] [n_panels]
 """
@@ -14,11 +25,25 @@ import sys
 import matplotlib
 
 matplotlib.use("Agg")
+import matplotlib.gridspec as gridspec
 import matplotlib.pyplot as plt
 import numpy as np
+from matplotlib.patches import Rectangle
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from vtk_reader import read_vti  # noqa: E402
+
+FLUID, SOLID_MG, WALL, INLET, OUTLET, OUTSIDE = 0, 1, 2, 3, 4, 5
+
+plt.rcParams.update({
+    "font.size": 10,
+    "axes.labelsize": 10,
+    "axes.titlesize": 11,
+    "legend.fontsize": 8,
+    "xtick.direction": "in",
+    "ytick.direction": "in",
+    "lines.linewidth": 1.4,
+})
 
 
 def snapshot_time(path):
@@ -26,43 +51,179 @@ def snapshot_time(path):
     return float(m.group(1)) if m else 0.0
 
 
-def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "output"
-    n_panels = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-
+def collect(outdir):
     files = sorted(glob.glob(os.path.join(outdir, "corr_*.vti")) +
                    glob.glob(os.path.join(outdir, "state_*.vti")) +
                    glob.glob(os.path.join(outdir, "final_*.vti")),
                    key=snapshot_time)
     if not files:
         raise SystemExit(f"no VTI snapshots in {outdir}")
-    sel = np.linspace(0, len(files) - 1, min(n_panels, len(files))).astype(int)
-    files = [files[i] for i in sel]
+    return files
 
-    fig, axes = plt.subplots(1, len(files), figsize=(3.2 * len(files), 5),
+
+def load2d(path):
+    """(x_um, y_um, C[ny,nx], nt[ny,nx]) for a 2D (nz==1) snapshot; 3D files
+    return their z-mid axial slice through the wire axis."""
+    meta, fields = read_vti(path)
+    nx, ny, nz = meta["nx"], meta["ny"], meta["nz"]
+    C = fields["concentration"].reshape(nz, ny, nx)
+    nt = fields["node_type"].reshape(nz, ny, nx).astype(int)
+    if nz == 1:
+        C, nt = C[0], nt[0]
+        x = (meta["origin"][0] + np.arange(nx) * meta["spacing"][0]) * 1e6
+        y = (meta["origin"][1] + np.arange(ny) * meta["spacing"][1]) * 1e6
+    else:
+        # axial(z)-transverse(x) slice through the axis: y index of x=0
+        jmid = int(np.argmin(np.abs(
+            meta["origin"][1] + np.arange(ny) * meta["spacing"][1])))
+        C, nt = C[:, jmid, :], nt[:, jmid, :]
+        x = (meta["origin"][0] + np.arange(nx) * meta["spacing"][0]) * 1e6
+        y = (meta["origin"][2] + np.arange(nz) * meta["spacing"][2]) * 1e6
+    return x, y, C, nt
+
+
+def pin_box(x, y, nt):
+    solid = nt == SOLID_MG
+    if not solid.any():
+        return None
+    xs = x[np.any(solid, axis=0)]
+    ys = y[np.any(solid, axis=1)]
+    hx = 0.5 * (x[1] - x[0])
+    hy = 0.5 * (y[1] - y[0])
+    return xs.min() - hx, xs.max() + hx, ys.min() - hy, ys.max() + hy
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "output"
+    n_panels = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    files = collect(outdir)
+
+    # ---- snapshot selection: evenly spread + the final one ----
+    times = np.array([snapshot_time(f) for f in files])
+    n_cl = min(5, len(files))
+    cl_idx = sorted(set(
+        np.linspace(0, len(files) - 1, n_cl).astype(int).tolist()))
+    final_path = files[-1]
+
+    x, y, C_fin, nt = load2d(final_path)
+    hx = 0.5 * (x[1] - x[0])
+    fluid = nt == FLUID
+    C_show = np.where(fluid, C_fin, np.nan)
+    C_max = np.nanmax(C_show) if np.isfinite(C_show).any() else 1.0
+    box = pin_box(x, y, nt)
+
+    # transverse stations: downstream of the pin at 1, 2.5 and 5 pin-lengths
+    if box is not None:
+        x0, x1, y0, y1 = box
+        L_pin = y1 - y0
+        stations = [y1 + f * L_pin for f in (0.25, 1.0, 2.5)]
+    else:
+        stations = [np.percentile(y, p) for p in (55, 70, 85)]
+    stations = [s for s in stations if s < y.max()]
+    st_styles = [("C0", "-"), ("C1", "--"), ("C3", ":")]
+
+    fig = plt.figure(figsize=(11, 13))
+    outer = gridspec.GridSpec(2, 1, height_ratios=[1.55, 1.0], hspace=0.25,
+                              left=0.07, right=0.97, top=0.95, bottom=0.05)
+    gs_top = gridspec.GridSpecFromSubplotSpec(
+        1, 2, subplot_spec=outer[0], width_ratios=[1, 0.035], wspace=0.03)
+    ax2d = fig.add_subplot(gs_top[0, 0])
+    axcb = fig.add_subplot(gs_top[0, 1])
+    gs_bot = gridspec.GridSpecFromSubplotSpec(
+        1, 2, subplot_spec=outer[1], wspace=0.32)
+    axcl = fig.add_subplot(gs_bot[0, 0])
+    axpr = fig.add_subplot(gs_bot[0, 1])
+
+    # ---- (a) 2D plume map ----
+    cmap = plt.cm.hot_r.copy()
+    cmap.set_bad("white")
+    extent = [x.min() - hx, x.max() + hx,
+              y.min() - 0.5 * (y[1] - y[0]), y.max() + 0.5 * (y[1] - y[0])]
+    im = ax2d.imshow(C_show, origin="lower", extent=extent, cmap=cmap,
+                     vmin=0.0, vmax=max(C_max, 1e-12), aspect="equal",
+                     interpolation="nearest", rasterized=True)
+    if box is not None:
+        ax2d.add_patch(Rectangle((x0, y0), x1 - x0, y1 - y0,
+                                 facecolor="0.45", edgecolor="k",
+                                 linewidth=0.9, zorder=3, label="Mg pin"))
+    wall_cols = np.where(np.any(nt == WALL, axis=0))[0]
+    if wall_cols.size:
+        ax2d.axvline(x[wall_cols[0]] - hx, color="0.25", lw=0.7, ls="--",
+                     label="Tube wall")
+        ax2d.axvline(x[wall_cols[-1]] + hx, color="0.25", lw=0.7, ls="--")
+    for s, (col, ls) in zip(stations, st_styles):
+        ax2d.axhline(s, color=col, lw=0.8, ls=ls, alpha=0.75)
+    cb = fig.colorbar(im, cax=axcb)
+    cb.set_label("Dissolved Mg concentration, $C$")
+    ax2d.set_xlabel(r"Transverse position $x$ ($\mu$m)")
+    ax2d.set_ylabel(r"Axial position ($\mu$m)")
+    ax2d.set_title(f"Dissolved Mg concentration — "
+                   f"t = {snapshot_time(final_path):.1f} s",
+                   fontweight="bold", pad=10)
+    ax2d.legend(loc="upper left", framealpha=0.92, edgecolor="0.6")
+    ax2d.text(-0.04, 1.01, "(a)", transform=ax2d.transAxes, fontsize=12,
+              fontweight="bold", va="bottom")
+
+    # ---- (b) centerline evolution ----
+    ic = int(np.argmin(np.abs(x)))
+    colors = plt.cm.viridis(np.linspace(0.12, 0.92, len(cl_idx)))
+    for color, i in zip(colors, cl_idx):
+        xs_i, ys_i, C_i, nt_i = load2d(files[i])
+        line = np.where(nt_i[:, ic] == FLUID, C_i[:, ic], np.nan)
+        axcl.plot(ys_i, line, color=color,
+                  label=f"t = {times[i]:.1f} s")
+    if box is not None:
+        axcl.axvspan(y0, y1, color="0.88", zorder=0, label="Mg pin")
+    axcl.set_xlabel(r"Axial position ($\mu$m)")
+    axcl.set_ylabel(r"Centerline concentration $C$")
+    axcl.set_title("Centerline concentration evolution", fontweight="bold")
+    axcl.legend(loc="best", framealpha=0.92, edgecolor="0.6")
+    axcl.set_ylim(bottom=0)
+    axcl.grid(True, ls=":", alpha=0.45)
+    axcl.text(-0.02, 1.02, "(b)", transform=axcl.transAxes, fontsize=12,
+              fontweight="bold", va="bottom")
+
+    # ---- (c) transverse profiles ----
+    for s, (col, ls) in zip(stations, st_styles):
+        iy = int(np.argmin(np.abs(y - s)))
+        prof = np.where(nt[iy, :] == FLUID, C_fin[iy, :], np.nan)
+        axpr.plot(x, prof, color=col, ls=ls, lw=1.6,
+                  label=rf"axial = {y[iy]:.0f} $\mu$m")
+    if box is not None:
+        axpr.axvspan(x0, x1, color="0.85", zorder=0, label="Mg pin")
+    axpr.set_xlabel(r"Transverse position $x$ ($\mu$m)")
+    axpr.set_ylabel("Concentration $C$")
+    axpr.set_title("Transverse profiles downstream of pin", fontweight="bold")
+    axpr.legend(loc="best", framealpha=0.92, edgecolor="0.6")
+    axpr.set_ylim(bottom=0)
+    axpr.grid(True, ls=":", alpha=0.45)
+    axpr.text(-0.02, 1.02, "(c)", transform=axpr.transAxes, fontsize=12,
+              fontweight="bold", va="bottom")
+
+    out = os.path.join(outdir, "concentration_transport.png")
+    fig.savefig(out, dpi=200, bbox_inches="tight")
+    plt.close(fig)
+    print(f"Wrote {out}")
+
+    # ---- snapshot panel series (retained from round 1) ----
+    sel = np.linspace(0, len(files) - 1,
+                      min(n_panels, len(files))).astype(int)
+    pfiles = [files[i] for i in sel]
+    fig, axes = plt.subplots(1, len(pfiles), figsize=(3.2 * len(pfiles), 5),
                              sharey=True)
-    if len(files) == 1:
-        axes = [axes]
-
-    for ax, path in zip(axes, files):
-        meta, fields = read_vti(path)
-        nx, ny = meta["nx"], meta["ny"]
-        C = fields["concentration"].reshape(ny, nx)
-        nt = fields["node_type"].reshape(ny, nx).astype(int)
-        C_show = np.where((nt == 2) | (nt == 5), np.nan, C)  # hide wall/outside
-        extent = [meta["x"].min() * 1e6, meta["x"].max() * 1e6,
-                  meta["y"].min() * 1e6, meta["y"].max() * 1e6]
-        im = ax.imshow(C_show, origin="lower", extent=extent, cmap="viridis",
+    axes = np.atleast_1d(axes)
+    for ax, path in zip(axes, pfiles):
+        xs_i, ys_i, C_i, nt_i = load2d(path)
+        C_p = np.where((nt_i == WALL) | (nt_i == OUTSIDE), np.nan, C_i)
+        ext = [xs_i.min(), xs_i.max(), ys_i.min(), ys_i.max()]
+        im = ax.imshow(C_p, origin="lower", extent=ext, cmap="viridis",
                        aspect="equal", vmin=0.0)
-        # solid outline
-        ax.contour(np.linspace(extent[0], extent[1], nx),
-                   np.linspace(extent[2], extent[3], ny),
-                   (nt == 1).astype(float), levels=[0.5], colors="r",
-                   linewidths=0.8)
+        ax.contour(xs_i, ys_i, (nt_i == SOLID_MG).astype(float),
+                   levels=[0.5], colors="r", linewidths=0.8)
         ax.set_title(f"t = {snapshot_time(path):.0f} s")
-        ax.set_xlabel("x [um]")
-    axes[0].set_ylabel("y [um]")
-    fig.colorbar(im, ax=axes, shrink=0.8, label="C (dissolved Mg)")
+        ax.set_xlabel(r"x [$\mu$m]")
+    axes[0].set_ylabel(r"axial [$\mu$m]")
+    fig.colorbar(im, ax=list(axes), shrink=0.8, label="C (dissolved Mg)")
     out = os.path.join(outdir, "concentration_panels.png")
     fig.savefig(out, dpi=130)
     print(f"Wrote {out}")

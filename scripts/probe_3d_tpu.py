@@ -8,8 +8,11 @@ Measures, at the params_3d.cfg production size (570k nodes, f32):
 Usage: python scripts/probe_3d_tpu.py [dx]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +27,7 @@ from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt, ns_step
 
 def main():
     dx = float(sys.argv[1]) if len(sys.argv) > 1 else 5.0e-6
-    cfg = Config()
-    cfg.load("config/params_3d.cfg")
+    cfg = Config.load("config/params_3d.cfg")
     cfg.dx = dx
     cfg.precision = "f32"
     cfg.compute_derived()

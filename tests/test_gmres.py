@@ -74,3 +74,44 @@ def test_gmres_early_convergence():
                         jnp.asarray(x_true), tol=1e-8, restart=10, maxiter=100)
     assert int(k) == 0
     assert float(res) < 1e-8
+
+
+def test_gmres_f32_stiff_dt_reaches_tol():
+    """Regression for the f32 conditioning floor at stiff implicit dt.
+
+    Build the real implicit transport operator on a small 2D grid and solve
+    (I - dt*M) x = C at dt = implicit_dt_max = 60 s in f32. With f32
+    Gram-Schmidt scalars the attainable relative residual stalled near
+    1e-4; with f64 scalars (f32 Krylov vectors) it must reach the 1e-6
+    production tolerance without warnings.
+    """
+    from pd_mg_pin_corrosion_tpu.config import Config
+    from pd_mg_pin_corrosion_tpu.fields import initialize_state
+    from pd_mg_pin_corrosion_tpu.grid import build_grid
+    from pd_mg_pin_corrosion_tpu.kit import build_kit
+    from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+
+    cfg = Config()
+    cfg.dx = 5.0e-6
+    cfg.R_wire = 20.0e-6
+    cfg.L_wire = 100.0e-6
+    cfg.R_tube = 60.0e-6
+    cfg.L_upstream = 60.0e-6
+    cfg.L_downstream = 60.0e-6
+    cfg.D_grain = 5.0e-11
+    cfg.D_gb = 5.0e-9
+    cfg.precision = "f32"
+    cfg.compute_derived()
+
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert kit.jdtype == jnp.float32
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    # a partially-developed concentration field stresses the solve more
+    # than the clean initial condition
+    op = jax.jit(lambda s: ai.assemble(s, kit))(state)
+    s1, _ = jax.jit(lambda s: ai.implicit_step(s, op, kit, 10.0))(state)
+
+    s2, res = jax.jit(lambda s: ai.implicit_step(s, op, kit, 60.0))(s1)
+    assert np.isfinite(np.asarray(s2.C)).all()
+    assert float(res) <= 1e-6, f"stiff-dt f32 GMRES stalled at {float(res):.2e}"

@@ -45,3 +45,19 @@ def test_auto_fallback_f64():
     grid = build_grid(cfg)
     kit = build_kit(grid, cfg)
     assert not pk.pallas_applicable(kit)  # f64 -> XLA path
+
+
+def test_pallas_3d_matches_xla():
+    cfg = Config.load("config/params_3d.cfg")
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert pk.pallas_applicable_3d(kit)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    dt = compute_dt(state, kit)
+
+    ref = jax.jit(lambda s: ns_step(s, kit, dt))(state)
+    out = pk.ns_step_pallas_3d(state, kit, dt)
+    np.testing.assert_array_equal(np.asarray(out.rho), np.asarray(ref.rho))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
