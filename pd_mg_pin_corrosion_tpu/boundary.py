@@ -31,6 +31,18 @@ def _shift_masked_sum(kit: Kit, value_p, pred_p):
 
     ``value_p``/``pred_p`` are already-padded arrays; pred is 0/1 float.
     """
+    if kit.use_scan:
+        offs, _, _, _ = kit.stencil_jnp()
+        zero = jnp.zeros(kit.shape, kit.jdtype)
+
+        def body(acc, off):
+            total, count = acc
+            pj = kit.shift_dyn(pred_p, off)
+            vj = kit.shift_dyn(value_p, off)
+            return (total + vj * pj, count + pj), None
+
+        (total, count), _ = jax.lax.scan(body, (zero, zero), offs)
+        return total, count
     total = None
     count = None
     for s, _, _, _ in kit.bond_iter():
@@ -303,20 +315,35 @@ def smooth_boundary_concentration(state: State, kit: Kit) -> State:
     # axial array axis: 0 in 2D ([Ny, Nx] -> y first), 0 in 3D ([Nz, Ny, Nx] -> z first)
     ax_axis = 0
     zero = jnp.zeros(kit.shape, kit.jdtype)
-    tot = zero
-    cnt = zero
-    for s, _, _, _ in kit.bond_iter():
-        d_ax = kit.offsets[s][ax_axis]
-        if d_ax == 0:
-            continue
-        fj = kit.shift(fl_p, s)
-        Cj = kit.shift(C_p, s)
-        if d_ax > 0:   # neighbor deeper toward outlet -> usable near inlet
-            sel = jnp.where(near_in, fj, 0.0)
-        else:          # neighbor deeper toward inlet -> usable near outlet
-            sel = jnp.where(near_out, fj, 0.0)
-        tot = tot + Cj * sel
-        cnt = cnt + sel
+    if kit.use_scan:
+        offs, _, _, _ = kit.stencil_jnp()
+
+        def body(acc, off):
+            tot, cnt = acc
+            d_ax = off[ax_axis]
+            fj = kit.shift_dyn(fl_p, off)
+            Cj = kit.shift_dyn(C_p, off)
+            sel = jnp.where(d_ax > 0, jnp.where(near_in, fj, 0.0),
+                            jnp.where(d_ax < 0,
+                                      jnp.where(near_out, fj, 0.0), 0.0))
+            return (tot + Cj * sel, cnt + sel), None
+
+        (tot, cnt), _ = jax.lax.scan(body, (zero, zero), offs)
+    else:
+        tot = zero
+        cnt = zero
+        for s, _, _, _ in kit.bond_iter():
+            d_ax = kit.offsets[s][ax_axis]
+            if d_ax == 0:
+                continue
+            fj = kit.shift(fl_p, s)
+            Cj = kit.shift(C_p, s)
+            if d_ax > 0:   # neighbor deeper toward outlet -> usable near inlet
+                sel = jnp.where(near_in, fj, 0.0)
+            else:          # neighbor deeper toward inlet -> usable near outlet
+                sel = jnp.where(near_out, fj, 0.0)
+            tot = tot + Cj * sel
+            cnt = cnt + sel
 
     C_sm = jnp.where(cnt > 0, tot / jnp.maximum(cnt, 1.0), state.C)
     C = jnp.where((near_in | near_out) & (cnt > 0), C_sm, state.C)

@@ -176,6 +176,39 @@ class Kit:
         """Iterate (s, dist, evec, vol) over stencil slots in reference order."""
         return zip(range(self.S), self.dist, self.evec, self.vol)
 
+    # -- scan-over-stencil mode ----------------------------------------
+    @property
+    def use_scan(self) -> bool:
+        """Use lax.scan over stencil slots instead of a Python-unrolled sum.
+
+        The 3D stencil has ~178 slots; the fully unrolled XLA graphs (a)
+        exceed the axon remote compiler's request-size limit (HTTP 413 on
+        assemble), (b) take minutes to compile, and (c) the 178-slot fused
+        NS graph MISCOMPILES on TPU at production size (NaNs + dropped
+        bond contributions at ~2.5% of nodes; CPU and the Pallas kernel
+        agree bit-exactly). Scan bodies compile once and sidestep all
+        three. 2D (36 slots) keeps the unrolled form, whose fusion XLA
+        handles well and whose summation order matches the reference's.
+        """
+        return self.dim == 3
+
+    def stencil_jnp(self):
+        """(offsets [S,nd] i32, dist [S], evec [S,nd], vol [S]) as arrays
+        for lax.scan over slots."""
+        return (jnp.asarray(self.offsets, jnp.int32),
+                jnp.asarray(self.dist, self.jdtype),
+                jnp.asarray(self.evec, self.jdtype),
+                jnp.asarray(self.vol, self.jdtype))
+
+    def shift_dyn(self, Ap: jax.Array, off: jax.Array) -> jax.Array:
+        """Neighbor view of a padded array for a *traced* offset vector
+        (scan-over-stencil mode twin of ``shift``)."""
+        nd = len(self.shape)
+        starts = [self.mext + off[a] for a in range(nd)]
+        starts += [jnp.asarray(0, off.dtype)] * (Ap.ndim - nd)
+        sizes = list(self.shape) + list(Ap.shape[nd:])
+        return jax.lax.dynamic_slice(Ap, starts, sizes)
+
 
 def _gs_tables(nt: np.ndarray, offsets: np.ndarray, near_in: np.ndarray,
                near_out: np.ndarray):

@@ -27,11 +27,22 @@ def compute_salt_blocked(state: State, kit: Kit) -> jax.Array:
     cfg = kit.cfg
     nt_p = kit.pad(state.node_type, OUTSIDE)
     C_p = kit.pad(state.C, 0.0)
-    blocked = jnp.zeros(kit.shape, bool)
-    for s, _, _, _ in kit.bond_iter():
-        nt_j = kit.shift(nt_p, s)
-        C_j = kit.shift(C_p, s)
-        blocked = blocked | ((nt_j == FLUID) & (C_j >= cfg.C_sat))
+    if kit.use_scan:
+        offs, _, _, _ = kit.stencil_jnp()
+
+        def body(blocked, off):
+            nt_j = kit.shift_dyn(nt_p, off)
+            C_j = kit.shift_dyn(C_p, off)
+            return blocked | ((nt_j == FLUID) & (C_j >= cfg.C_sat)), None
+
+        blocked, _ = jax.lax.scan(
+            body, jnp.zeros(kit.shape, bool), offs)
+    else:
+        blocked = jnp.zeros(kit.shape, bool)
+        for s, _, _, _ in kit.bond_iter():
+            nt_j = kit.shift(nt_p, s)
+            C_j = kit.shift(C_p, s)
+            blocked = blocked | ((nt_j == FLUID) & (C_j >= cfg.C_sat))
     return blocked & (state.node_type == SOLID_MG)
 
 
@@ -88,12 +99,11 @@ def ard_step(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
     beta_i = kit.beta_lap
 
     zero = jnp.zeros(kit.shape, kit.jdtype)
-    diff_sum = zero
-    adv_sum = zero
 
-    for s, xi, e_ij, vol in kit.bond_iter():
-        nt_j = kit.shift(nt_p, s)
-        C_j = kit.shift(C_p, s)
+    def slot_sums(shift, xi, e_ij, vol, acc):
+        diff_sum, adv_sum = acc
+        nt_j = shift(nt_p)
+        C_j = shift(C_p)
 
         # transport bonds exclude WALL and OUTSIDE neighbors (pd_ard.cpp:120)
         valid = (nt_j != WALL) & (nt_j != OUTSIDE)
@@ -107,11 +117,11 @@ def ard_step(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
         iface = (i_fluid & j_solid) | (i_solid & j_fluid)
 
         # interface micro-diffusivity from the solid side (pd_ard.cpp:143-161)
-        D_s_j = jnp.where(kit.shift(gb_p, s), cfg.D_gb,
-                          jnp.where(kit.shift(precip_p, s), cfg.D_precip,
+        D_s_j = jnp.where(shift(gb_p), cfg.D_gb,
+                          jnp.where(shift(precip_p), cfg.D_precip,
                                     cfg.D_grain)) * decay
         solid_D = jnp.where(i_solid, D_s_i, D_s_j)
-        solid_blocked = jnp.where(i_solid, salt_blocked, kit.shift(blocked_p, s))
+        solid_blocked = jnp.where(i_solid, salt_blocked, shift(blocked_p))
         D_iface = jnp.where(
             solid_blocked, 0.0,
             2.0 * cfg.D_liquid * solid_D / (cfg.D_liquid + solid_D + 1e-30),
@@ -119,7 +129,7 @@ def ard_step(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
         D_avg = jnp.where(ll, cfg.D_liquid, jnp.where(iface, D_iface, 0.0))
 
         # artificial diffusion on liquid-liquid bonds (pd_ard.cpp:164-170)
-        vj_mag = kit.shift(vmag_p, s)
+        vj_mag = shift(vmag_p)
         D_art = jnp.where(ll, cfg.alpha_art_diff * jnp.maximum(vmag_i, vj_mag) * cfg.dx, 0.0)
 
         inv_xi = 1.0 / xi
@@ -133,6 +143,25 @@ def ard_step(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
         for d in range(kit.dim):
             vi_dot_e = vi_dot_e + vel_i[..., d] * e_ij[d]
         adv_sum = adv_sum + jnp.where(ll, (C_j - C_i) * vi_dot_e * inv_xi * V_j, 0.0)
+        return diff_sum, adv_sum
+
+    if kit.use_scan:
+        offs, dists, evecs, vols = kit.stencil_jnp()
+
+        def body(acc, xs):
+            off, xi, ev, vol = xs
+            return slot_sums(lambda Ap: kit.shift_dyn(Ap, off), xi,
+                             [ev[d] for d in range(kit.dim)], vol, acc), None
+
+        (diff_sum, adv_sum), _ = jax.lax.scan(
+            body, (zero, zero), (offs, dists, evecs, vols))
+    else:
+        diff_sum = zero
+        adv_sum = zero
+        for s, xi, e_ij, vol in kit.bond_iter():
+            diff_sum, adv_sum = slot_sums(
+                lambda Ap: kit.shift(Ap, s), xi, e_ij, vol,
+                (diff_sum, adv_sum))
 
     C_new = C_i + dt * (diff_sum - div_coeff * adv_sum)
     C_new = jnp.maximum(C_new, 0.0)  # physical clamp (pd_ard.cpp:188-190)

@@ -79,11 +79,9 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
     beta_i = kit.beta_lap
 
     zero = jnp.zeros(kit.shape, kit.jdtype)
-    Ws = []
-    diag = zero
 
-    for s, xi, e_ij, vol in kit.bond_iter():
-        nt_j = kit.shift(nt_p, s)
+    def slot_weight(shift, xi, e_ij, vol):
+        nt_j = shift(nt_p)
         valid = (nt_j != WALL) & (nt_j != OUTSIDE)
         V_j = vol * valid.astype(kit.jdtype)
 
@@ -94,11 +92,11 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
         ss = i_solid & j_solid
         iface = (i_fluid & j_solid) | (i_solid & j_fluid)
 
-        D_s_j = jnp.where(kit.shift(gb_p, s), cfg.D_gb,
-                          jnp.where(kit.shift(precip_p, s), cfg.D_precip,
+        D_s_j = jnp.where(shift(gb_p), cfg.D_gb,
+                          jnp.where(shift(precip_p), cfg.D_precip,
                                     cfg.D_grain)) * decay
         solid_D = jnp.where(i_solid, D_s_i, D_s_j)
-        solid_blocked = jnp.where(i_solid, salt_blocked, kit.shift(blocked_p, s))
+        solid_blocked = jnp.where(i_solid, salt_blocked, shift(blocked_p))
         D_iface = jnp.where(
             solid_blocked, 0.0,
             2.0 * cfg.D_liquid * solid_D / (cfg.D_liquid + solid_D + 1e-30),
@@ -122,12 +120,28 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
 
         w = jnp.where(ll, w_ll, w_diff)
         # rows: only unknowns; bonds: skip solid-solid
-        w = jnp.where(unknown & ~ss, w, 0.0)
+        return jnp.where(unknown & ~ss, w, 0.0)
 
-        diag = diag - w  # diag -= w_ii_bond (symmetric per bond)
-        Ws.append(w)
+    if kit.use_scan:
+        offs, dists, evecs, vols = kit.stencil_jnp()
 
-    return ImplicitOperator(W=jnp.stack(Ws), diag=diag, unknown=unknown)
+        def body(diag, xs):
+            off, xi, ev, vol = xs
+            w = slot_weight(lambda Ap: kit.shift_dyn(Ap, off), xi,
+                            [ev[d] for d in range(kit.dim)], vol)
+            return diag - w, w
+
+        diag, W = jax.lax.scan(body, zero, (offs, dists, evecs, vols))
+    else:
+        Ws = []
+        diag = zero
+        for s, xi, e_ij, vol in kit.bond_iter():
+            w = slot_weight(lambda Ap: kit.shift(Ap, s), xi, e_ij, vol)
+            diag = diag - w  # diag -= w_ii_bond (symmetric per bond)
+            Ws.append(w)
+        W = jnp.stack(Ws)
+
+    return ImplicitOperator(W=W, diag=diag, unknown=unknown)
 
 
 def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
@@ -142,8 +156,17 @@ def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
 
     x_p = kit.pad(x, 0.0)
     y = op.diag * x
-    for s, _, _, _ in kit.bond_iter():
-        y = y + op.W[s] * kit.shift(x_p, s)
+    if kit.use_scan:
+        offs, _, _, _ = kit.stencil_jnp()
+
+        def body(y, xs):
+            W_s, off = xs
+            return y + W_s * kit.shift_dyn(x_p, off), None
+
+        y, _ = jax.lax.scan(body, y, (op.W, offs))
+    else:
+        for s, _, _, _ in kit.bond_iter():
+            y = y + op.W[s] * kit.shift(x_p, s)
     return jnp.where(op.unknown, y, 0.0)
 
 
@@ -211,8 +234,17 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         def A64(x64):
             x_p = kit.pad(x64, 0.0)
             y = diag64 * x64
-            for s, _, _, _ in kit.bond_iter():
-                y = y + W64[s] * kit.shift(x_p, s)
+            if kit.use_scan:
+                offs, _, _, _ = kit.stencil_jnp()
+
+                def body(y, xs):
+                    W_s, off = xs
+                    return y + W_s.astype(f64) * kit.shift_dyn(x_p, off), None
+
+                y, _ = jax.lax.scan(body, y, (op.W, offs))
+            else:
+                for s, _, _, _ in kit.bond_iter():
+                    y = y + W64[s] * kit.shift(x_p, s)
             Mx = jnp.where(op.unknown, y, 0.0)
             return jnp.where(op.unknown, x64 - dt64 * Mx, x64)
 

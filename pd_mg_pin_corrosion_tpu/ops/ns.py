@@ -52,6 +52,10 @@ def ns_step(state: State, kit: Kit, dt) -> State:
     Returns a new State with updated rho/vel on FLUID nodes (all other node
     types pass through — their values come from BCs / IDW, pd_ns.cpp:88-97)
     and pressure = Tait(rho_in) as computed at step entry (pd_ns.cpp:79).
+
+    The bond sums run Python-unrolled in 2D (reference summation order,
+    good XLA fusion) and as a lax.scan over stencil slots in 3D (see
+    Kit.use_scan for why the 178-slot unrolled form is unusable there).
     """
     cfg = kit.cfg
     dim = kit.dim
@@ -63,7 +67,7 @@ def ns_step(state: State, kit: Kit, dt) -> State:
     vel_i = state.vel
     p_i = pressure
 
-    # Pad once; every bond is a static slice of these.
+    # Pad once; every bond is a (static or dynamic) slice of these.
     rho_p = kit.pad(rho_i, 0.0)
     vel_p = kit.pad(vel_i, 0.0)
     p_p = kit.pad(p_i, 0.0)
@@ -75,20 +79,16 @@ def ns_step(state: State, kit: Kit, dt) -> State:
     dens_diff_coeff = beta_l * D_v
 
     zero = jnp.zeros(kit.shape, kit.jdtype)
-    mass_conv = zero
-    mass_diff = zero
-    mom_conv = [zero] * dim
-    mom_pres = [zero] * dim
-    mom_visc = [zero] * dim
 
-    for s, xi, e_ij, vol in kit.bond_iter():
-        nt_j = kit.shift(nt_p, s)
+    def slot_sums(shift, xi, e_ij, vol, acc):
+        (mass_conv, mass_diff, mom_conv, mom_pres, mom_visc) = acc
+        nt_j = shift(nt_p)
         valid = (nt_j != OUTSIDE).astype(kit.jdtype)
         V_j = vol * valid
 
-        rho_j = kit.shift(rho_p, s)
-        vel_j = kit.shift(vel_p, s)
-        p_j = kit.shift(p_p, s)
+        rho_j = shift(rho_p)
+        vel_j = shift(vel_p)
+        p_j = shift(p_p)
 
         inv_xi = 1.0 / xi
         inv_xi2 = inv_xi * inv_xi
@@ -104,6 +104,9 @@ def ns_step(state: State, kit: Kit, dt) -> State:
         # Density diffusion: PD Laplacian of rho (pd_ns.cpp:135-136)
         mass_diff = mass_diff + dens_diff_coeff * (rho_j - rho_i) * inv_xi2 * V_j
 
+        mom_conv = list(mom_conv)
+        mom_pres = list(mom_pres)
+        mom_visc = list(mom_visc)
         for d in range(dim):
             # Momentum convection: PD divergence of (rho v v) (pd_ns.cpp:138-145)
             conv_d = zero
@@ -119,6 +122,26 @@ def ns_step(state: State, kit: Kit, dt) -> State:
 
             # Viscous Laplacian (pd_ns.cpp:153-156)
             mom_visc[d] = mom_visc[d] + (vel_j[..., d] - vel_i[..., d]) * inv_xi2 * V_j
+        return (mass_conv, mass_diff, tuple(mom_conv), tuple(mom_pres),
+                tuple(mom_visc))
+
+    acc0 = (zero, zero, (zero,) * dim, (zero,) * dim, (zero,) * dim)
+    if kit.use_scan:
+        offs, dists, evecs, vols = kit.stencil_jnp()
+
+        def body(acc, xs):
+            off, xi, ev, vol = xs
+            acc = slot_sums(lambda Ap: kit.shift_dyn(Ap, off),
+                            xi, [ev[d] for d in range(dim)], vol, acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc0, (offs, dists, evecs, vols))
+    else:
+        acc = acc0
+        for s, xi, e_ij, vol in kit.bond_iter():
+            acc = slot_sums(lambda Ap: kit.shift(Ap, s), xi, e_ij, vol, acc)
+
+    mass_conv, mass_diff, mom_conv, mom_pres, mom_visc = acc
 
     # Density update with clamp (pd_ns.cpp:159-168)
     rho_new = rho_i + dt * (-(kit.alpha * inv_VH) * mass_conv + mass_diff)

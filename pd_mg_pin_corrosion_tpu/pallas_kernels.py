@@ -308,49 +308,50 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
     D_v = cfg.eta_density * cfg.c0 * cfg.delta
     dens_coeff = kit.beta_lap * D_v
 
-    # lane-rolled windows memoized per in-plane offset (dj, di)
-    rolled = {}
-
-    def plane(key, dj, di):
-        k2 = (dj, di)
-        if k2 not in rolled:
-            rolled[k2] = {}
-        if key not in rolled[k2]:
-            f = dj * nxp + di
-            a = w[key]
-            rolled[k2][key] = pltpu.roll(a, (-f) % a.shape[1], 1) if f else a
-        return rolled[k2][key]
-
+    # Group slots by in-plane offset (dj, di): one lane roll per field per
+    # group, consumed by that group's dk slots and then DEAD — keeping all
+    # ~38 groups' rolled windows memoized across the unrolled body spills
+    # ~130MB of VMEM. Group-major accumulation reorders the f32 sums vs the
+    # XLA path's stencil order (parity test uses allclose, not bit-equal).
+    groups: dict = {}
     for s, xi, e_ij, vol in kit.bond_iter():
         dk, dj, di = kit.offsets[s]
+        groups.setdefault((dj, di), []).append((dk, xi, e_ij, vol))
 
-        def sh(key):
-            a = plane(key, dj, di)
-            return a[_PRZ + dk:_PRZ + dk + _BZ, pcf:pcf + Fr]
+    for (dj, di), slots in groups.items():
+        f = dj * nxp + di
+        lw = {
+            key: (pltpu.roll(a, (-f) % a.shape[1], 1) if f else a)
+            for key, a in w.items()
+        }
 
-        V_j = vol * sh("act")
-        rho_j = sh("rho")
-        v_j = [sh("vx"), sh("vy"), sh("vz")]
-        p_j = sh("p")
+        for dk, xi, e_ij, vol in slots:
+            def sh(key):
+                return lw[key][_PRZ + dk:_PRZ + dk + _BZ, pcf:pcf + Fr]
 
-        inv_xi = 1.0 / xi
-        inv_xi2 = inv_xi * inv_xi
+            V_j = vol * sh("act")
+            rho_j = sh("rho")
+            v_j = [sh("vx"), sh("vy"), sh("vz")]
+            p_j = sh("p")
 
-        fd = zero
-        for d in range(3):
-            fd = fd + (rho_j * v_j[d] - rho_i * v_i[d]) * e_ij[d]
-        mass_conv += fd * inv_xi * V_j
-        mass_diff += dens_coeff * (rho_j - rho_i) * inv_xi2 * V_j
+            inv_xi = 1.0 / xi
+            inv_xi2 = inv_xi * inv_xi
 
-        for d in range(3):
-            conv_d = zero
-            for dp in range(3):
-                conv_d = conv_d + (
-                    rho_j * v_j[d] * v_j[dp] - rho_i * v_i[d] * v_i[dp]
-                ) * e_ij[dp]
-            mom_conv[d] += conv_d * inv_xi * V_j
-            mom_pres[d] += (p_j - p_i) * e_ij[d] * inv_xi * V_j
-            mom_visc[d] += (v_j[d] - v_i[d]) * inv_xi2 * V_j
+            fd = zero
+            for d in range(3):
+                fd = fd + (rho_j * v_j[d] - rho_i * v_i[d]) * e_ij[d]
+            mass_conv += fd * inv_xi * V_j
+            mass_diff += dens_coeff * (rho_j - rho_i) * inv_xi2 * V_j
+
+            for d in range(3):
+                conv_d = zero
+                for dp in range(3):
+                    conv_d = conv_d + (
+                        rho_j * v_j[d] * v_j[dp] - rho_i * v_i[d] * v_i[dp]
+                    ) * e_ij[dp]
+                mom_conv[d] += conv_d * inv_xi * V_j
+                mom_pres[d] += (p_j - p_i) * e_ij[d] * inv_xi * V_j
+                mom_visc[d] += (v_j[d] - v_i[d]) * inv_xi2 * V_j
 
     dt = dt_ref[0, 0]
     a_inv_VH = kit.alpha / kit.V_H
@@ -415,6 +416,8 @@ def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(dt_arr, *args, fl)
 
     def unflatten(a):

@@ -1,0 +1,118 @@
+"""3D TPU-vs-CPU op acceptance harness.
+
+The 178-slot unrolled XLA fusion of the 3D NS step MISCOMPILES on TPU at
+production size (NaNs + dropped slot contributions at ~2.5% of nodes,
+reproducible across processes; CPU and the Pallas kernel agree bit-exactly
+— see git log). This script cross-checks every 3D device op against the
+CPU backend at production size so any further miscompiles are caught
+before they poison a 9-hour run.
+
+Phase 1 (on TPU):  python scripts/validate_3d_tpu.py save
+Phase 2 (on CPU):  JAX_PLATFORMS=cpu python scripts/validate_3d_tpu.py check
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = "/tmp/val3d_tpu.npz"
+
+
+def build(dx=5.0e-6):
+    import jax.numpy as jnp
+    from pd_mg_pin_corrosion_tpu.config import Config
+    from pd_mg_pin_corrosion_tpu.fields import initialize_state
+    from pd_mg_pin_corrosion_tpu.grid import build_grid
+    from pd_mg_pin_corrosion_tpu.kit import build_kit
+
+    cfg = Config.load("config/params_3d.cfg")
+    cfg.dx = dx
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    # a structured, non-uniform C field exercises the transport stencils
+    rng = np.random.default_rng(7)
+    C = (0.5 + 0.5 * np.sin(grid.pos[..., 2] * 3e4)
+         * np.cos(grid.pos[..., 0] * 2e4)).astype(np.float32)
+    C = np.where(np.asarray(state.node_type) == 1, 1.0, 0.2 * C)
+    from dataclasses import replace
+    state = replace(state, C=jnp.asarray(C))
+    return cfg, grid, kit, state
+
+
+def run_ops(cfg, grid, kit, state):
+    import jax
+    import jax.numpy as jnp
+    from pd_mg_pin_corrosion_tpu import boundary as bc
+    from pd_mg_pin_corrosion_tpu.ops import ard, ard_implicit as ai
+
+    # kit and op go through jit as ARGUMENTS (pytrees), exactly as the
+    # production coupling loop passes them — closing over them would embed
+    # op.W (~400MB in 3D) as an HLO constant and blow the remote compiler's
+    # request-size limit.
+    res = {}
+    s1 = jax.jit(ard.ard_step)(state, kit, 1e-5, 0.1)
+    res["ard_C"] = np.asarray(s1.C)
+
+    op = jax.jit(ai.assemble)(state, kit, 0.1)
+    res["op_diag"] = np.asarray(op.diag)
+    res["op_W_sum"] = np.asarray(jnp.sum(op.W, axis=0))
+    mv = jax.jit(lambda s, o, k: ai.matvec_M(o, k, s.C))(state, op, kit)
+    res["matvec"] = np.asarray(mv)
+    dt_a = jax.jit(ai.compute_adaptive_dt)(state, op, kit)
+    res["dt_adaptive"] = np.asarray(dt_a)
+
+    s2 = jax.jit(bc.apply_inlet_bc)(state, kit)
+    res["inlet_rho"] = np.asarray(s2.rho)
+    res["inlet_C"] = np.asarray(s2.C)
+    s3 = jax.jit(bc.apply_outlet_bc)(state, kit)
+    res["outlet_C"] = np.asarray(s3.C)
+    res["outlet_vel"] = np.asarray(s3.vel)
+    s4 = jax.jit(bc.apply_wall_bc)(state, kit)
+    res["wall_rho"] = np.asarray(s4.rho)
+    res["wall_vel"] = np.asarray(s4.vel)
+    s5 = jax.jit(bc.apply_wall_concentration_bc)(state, kit)
+    res["wallC"] = np.asarray(s5.C)
+    s6 = jax.jit(bc.smooth_boundary_concentration)(state, kit)
+    res["smooth_C"] = np.asarray(s6.C)
+    res["salt"] = np.asarray(
+        jax.jit(ard.compute_salt_blocked)(state, kit))
+    return res
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "save"
+    if mode == "check":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    cfg, grid, kit, state = build()
+    res = run_ops(cfg, grid, kit, state)
+    if mode == "save":
+        np.savez_compressed(OUT, **res)
+        print(f"saved {len(res)} op outputs to {OUT}")
+        return
+    ref = np.load(OUT)
+    bad = 0
+    for k in ref.files:
+        a, b = ref[k], res[k]
+        if a.dtype == bool:
+            a = a.astype(np.float32)
+            b = b.astype(np.float32)
+        nan_mismatch = int((np.isnan(a) != np.isnan(b)).sum())
+        d = np.nanmax(np.abs(a - b)) if a.size else 0.0
+        scale = max(np.nanmax(np.abs(b)), 1e-30)
+        ok = nan_mismatch == 0 and (d / scale) < 1e-5
+        bad += 0 if ok else 1
+        print(f"{'OK ' if ok else 'BAD'} {k:12s} max|d|={d:.3e} "
+              f"rel={d / scale:.2e} nan_mismatch={nan_mismatch}")
+    print("RESULT:", "PASS" if bad == 0 else f"FAIL ({bad} ops)")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -158,3 +158,59 @@ def test_3d_transport_and_phase_change():
     if int(n) == 0:
         Cmin = float(np.asarray(s3.C)[nt == SOLID_MG].min())
         assert Cmin < 0.9, "solid C barely changed — interface bonds inactive?"
+
+
+def test_scan_paths_match_unrolled():
+    """The 3D scan-over-stencil forms must equal the Python-unrolled forms
+    (which 2D uses and the golden suites validate)."""
+    from unittest import mock
+
+    from pd_mg_pin_corrosion_tpu import boundary as bc
+    from pd_mg_pin_corrosion_tpu.kit import Kit
+    from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+    from pd_mg_pin_corrosion_tpu.ops.ard import compute_salt_blocked
+
+    cfg = cfg3d()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    state = replace(
+        state,
+        C=jnp.asarray(rng.uniform(0.0, 1.0, grid.shape)),
+        vel=state.vel + 0.01 * jnp.asarray(rng.normal(size=grid.shape + (3,))))
+
+    def run_all(k):
+        out = {}
+        out["ns"] = ns_step(state, k, 1e-8)
+        out["ard"] = ard_step(state, k, 1e-6, 0.1)
+        out["salt"] = compute_salt_blocked(state, k)
+        op = ai.assemble(state, k, 0.1)
+        out["W"] = op.W
+        out["diag"] = op.diag
+        out["mv"] = ai.matvec_M(op, k, state.C)
+        out["wallC"] = bc.apply_wall_concentration_bc(state, k).C
+        out["smooth"] = bc.smooth_boundary_concentration(state, k).C
+        return out
+
+    assert kit.use_scan
+    scan = run_all(kit)
+    with mock.patch.object(Kit, "use_scan", property(lambda self: False)):
+        assert not kit.use_scan
+        ref = run_all(kit)
+
+    for key in ref:
+        a, b = scan[key], ref[key]
+        if key in ("ns", "ard"):
+            np.testing.assert_allclose(np.asarray(a.rho), np.asarray(b.rho),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel),
+                                       rtol=1e-12, atol=1e-18)
+            np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C),
+                                       rtol=1e-12)
+        else:
+            # atol floor: the upwind clamp makes LL weights exactly 0 when
+            # w_adv >= w_diff; scan-vs-unrolled fusion rounds those ties to
+            # tiny +-1e-13-scale garbage (physics scale ~1)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)

@@ -59,5 +59,9 @@ def test_pallas_3d_matches_xla():
 
     ref = jax.jit(lambda s: ns_step(s, kit, dt))(state)
     out = pk.ns_step_pallas_3d(state, kit, dt)
-    np.testing.assert_array_equal(np.asarray(out.rho), np.asarray(ref.rho))
-    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(ref.vel))
+    # group-major accumulation reorders the f32 bond sums vs the XLA path's
+    # stencil order (a VMEM-liveness requirement) -> allclose, not bitwise
+    np.testing.assert_allclose(np.asarray(out.rho), np.asarray(ref.rho),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               rtol=1e-4, atol=1e-8)
