@@ -126,6 +126,11 @@ class Config:
     # mode with effectively zero damping — see docs/PARITY.md). Default is
     # the corrected constant; set 1 only for divergence-parity studies.
     legacy_3d_constants: int = 0
+    # Write the post-flow-solve VTI only every Nth flow re-solve (1 =
+    # reference behavior, coupling.cpp:139-147). Large 3D runs re-solve
+    # flow after every dissolution event; a 1M-node ASCII VTI is ~130MB
+    # and minutes of host serialization each.
+    flow_output_stride: int = 1
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -158,6 +163,7 @@ class Config:
             "implicit_output_every", "diagnostic_every", "newton_max_iter",
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
+            "flow_output_stride",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})

@@ -219,7 +219,10 @@ class CoupledSolver:
                               f"L2 rel error = {err:.3e}")
                 self.dissolved_since_flow = 0
                 need_flow_solve = False
-                self._write_state(cfg, grid, state, "flow", t_corr, self.flow_writer)
+                self.flow_solve_count = getattr(self, "flow_solve_count", 0) + 1
+                if (self.flow_solve_count - 1) % max(cfg.flow_output_stride, 1) == 0:
+                    self._write_state(cfg, grid, state, "flow", t_corr,
+                                      self.flow_writer)
             else:
                 print("  Skipping flow solve (no dissolution since last flow solve)")
 

@@ -90,7 +90,8 @@ def _ns_kernel(kit: Kit, nyb: int, nxr: int,
                rho_out, vx_out, vy_out):
     cfg = kit.cfg
     i = pl.program_id(0)
-    row0 = i * _BY  # interior row offset (aligned; nyb % BY == 0)
+    # np.int32 keeps index math i32 under jax_enable_x64 (Mosaic rejects i64)
+    row0 = i * np.int32(_BY)  # interior row offset (aligned; nyb % BY == 0)
 
     win = _BY + 2 * _PR
 
@@ -128,8 +129,10 @@ def _ns_kernel(kit: Kit, nyb: int, nxr: int,
             # neighbor view: element (r, c) -> a[r + dj, c + di]; roll wrap
             # contamination stays inside the >= mext-wide margins.
             # pltpu.roll requires non-negative shifts: -d mod size.
-            r = pltpu.roll(a, (-dj) % a.shape[0], 0) if dj else a
-            r = pltpu.roll(r, (-di) % r.shape[1], 1) if di else r
+            # np.int32: under jax_enable_x64 a Python int traces as i64,
+            # which Mosaic's tpu.dynamic_rotate rejects.
+            r = pltpu.roll(a, np.int32((-dj) % a.shape[0]), 0) if dj else a
+            r = pltpu.roll(r, np.int32((-di) % r.shape[1]), 1) if di else r
             return center(r)
 
         V_j = vol * sh(act_w)
@@ -204,14 +207,18 @@ def ns_step_pallas(state: State, kit: Kit, dt) -> State:
     kernel = functools.partial(_ns_kernel, kit, nyb, nxr)
     out_shape = [jax.ShapeDtypeStruct((nyb, nxr), jnp.float32)] * 3
 
-    rho_new, vx_new, vy_new = pl.pallas_call(
-        kernel,
-        grid=(nyb // _BY,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_shape=out_shape,
-    )(dt_arr, *args, fluid)
+    # trace the kernel under x64-off: BlockSpec index maps and grid math
+    # otherwise emit i64, which Mosaic cannot legalize (all kernel data is
+    # f32/i32 regardless of the global x64 flag)
+    with jax.enable_x64(False):
+        rho_new, vx_new, vy_new = pl.pallas_call(
+            kernel,
+            grid=(nyb // _BY,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_shape=out_shape,
+        )(dt_arr, *args, fluid)
 
     rho_new = rho_new[:ny, :nx]
     vel_new = jnp.stack([vx_new[:ny, :nx], vy_new[:ny, :nx]], axis=-1)
@@ -276,7 +283,7 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
     cfg = kit.cfg
     nxp = kit.shape[2] + 2 * kit.mext
     i = pl.program_id(0)
-    row0 = i * _BZ
+    row0 = i * np.int32(_BZ)  # i32 under x64 (Mosaic rejects i64 indices)
     win = _BZ + 2 * _PRZ
 
     w = {
@@ -321,7 +328,7 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
     for (dj, di), slots in groups.items():
         f = dj * nxp + di
         lw = {
-            key: (pltpu.roll(a, (-f) % a.shape[1], 1) if f else a)
+            key: (pltpu.roll(a, np.int32((-f) % a.shape[1]), 1) if f else a)
             for key, a in w.items()
         }
 
@@ -409,16 +416,17 @@ def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
     kernel = functools.partial(_ns_kernel_3d, kit, nzb, Fr, pcf)
     out_shape = [jax.ShapeDtypeStruct((nzb, Fr), jnp.float32)] * 4
 
-    rho_new, vx, vy, vz = pl.pallas_call(
-        kernel,
-        grid=(nzb // _BZ,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(dt_arr, *args, fl)
+    with jax.enable_x64(False):  # see ns_step_pallas
+        rho_new, vx, vy, vz = pl.pallas_call(
+            kernel,
+            grid=(nzb // _BZ,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(dt_arr, *args, fl)
 
     def unflatten(a):
         return a[:nz, :F].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
@@ -456,7 +464,7 @@ def _matvec_kernel(kit: Kit, nxr: int,
                    x_ref, W_ref, diag_ref, unk_ref, y_out):
     S = kit.S
     i = pl.program_id(0)
-    row0 = i * _BY_MV
+    row0 = i * np.int32(_BY_MV)  # i32 under x64
     win = _BY_MV + 2 * _PR
 
     x_w = x_ref[pl.ds(row0, win), :]
@@ -467,8 +475,8 @@ def _matvec_kernel(kit: Kit, nxr: int,
     acc = diag_ref[pl.ds(row0, _BY_MV), :] * center(x_w)
     for s in range(S):
         dj, di = kit.offsets[s]
-        r = pltpu.roll(x_w, (-dj) % x_w.shape[0], 0) if dj else x_w
-        r = pltpu.roll(r, (-di) % r.shape[1], 1) if di else r
+        r = pltpu.roll(x_w, np.int32((-dj) % x_w.shape[0]), 0) if dj else x_w
+        r = pltpu.roll(r, np.int32((-di) % r.shape[1]), 1) if di else r
         acc += W_ref[s] * center(r)
 
     unk = unk_ref[pl.ds(row0, _BY_MV), :]
@@ -487,18 +495,19 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
     unk = jnp.pad(op.unknown, pad2, constant_values=False)
 
     S = kit.S
-    y = pl.pallas_call(
-        functools.partial(_matvec_kernel, kit, nxr),
-        grid=(nyb // _BY_MV,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # x (resident)
-            pl.BlockSpec((S, _BY_MV, nxr), lambda i: (0, i, 0),         # W row slab
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # diag
-            pl.BlockSpec(memory_space=pltpu.VMEM),                      # unknown
-        ],
-        out_specs=pl.BlockSpec((_BY_MV, nxr), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nyb, nxr), jnp.float32),
-    )(x_p, W, diag, unk)
+    with jax.enable_x64(False):  # see ns_step_pallas
+        y = pl.pallas_call(
+            functools.partial(_matvec_kernel, kit, nxr),
+            grid=(nyb // _BY_MV,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),                  # x (resident)
+                pl.BlockSpec((S, _BY_MV, nxr), lambda i: (0, i, 0),     # W row slab
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),                  # diag
+                pl.BlockSpec(memory_space=pltpu.VMEM),                  # unknown
+            ],
+            out_specs=pl.BlockSpec((_BY_MV, nxr), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nyb, nxr), jnp.float32),
+        )(x_p, W, diag, unk)
     return y[:ny, :nx]
