@@ -221,25 +221,32 @@ def _wall_mirror(state: State, kit: Kit, rho, vel):
     vel_out = jnp.where(kit.mirror_none_mask[..., None], 0.0, vel)
 
     if kit.dim == 3:
-        # Cross-section gather/scatter batched over the (sharded) z axis for
-        # the z-invariant primary columns, plus a tiny flat fallback
-        # gather — the 2D roll scheme would need ~180 offset groups here
-        # (stair-cased cylinder), i.e. ~360 full-array rolls per call.
+        # One-hot MXU matmuls over the cross-section, batched over the
+        # (sharded) z axis: the mirror map is z-invariant by construction
+        # (grid._build_mirror_table, 3D branch), so
+        #   mirrored = (A @ G) @ S,  out = A*(1-colmask) +- mirrored.
+        # The 2D roll scheme would need ~180 offset groups here (~360
+        # full-array rolls per call), and XLA gather/scatter over the
+        # cross-section at 1M+ nodes crashes the TPU runtime inside device
+        # loops — the matmul form uses neither.
         Nz = kit.shape[0]
         XS = kit.shape[1] * kit.shape[2]
-        rho2 = rho_out.reshape(Nz, XS)
-        vel2 = vel_out.reshape(Nz, XS, kit.dim)
-        # sources are never WALL nodes, so reads from the *input* fields
-        # (rho/vel) are order-independent
-        r_in = rho.reshape(Nz, XS)
-        v_in = vel.reshape(Nz, XS, kit.dim)
-        rho2 = rho2.at[:, kit.wm_dst_cols].set(r_in[:, kit.wm_src_cols])
-        vel2 = vel2.at[:, kit.wm_dst_cols].set(-v_in[:, kit.wm_src_cols])
-        rf = rho2.reshape(-1)
-        vf = vel2.reshape(-1, kit.dim)
-        rf = rf.at[kit.wm_fb_dst].set(rho.reshape(-1)[kit.wm_fb_src])
-        vf = vf.at[kit.wm_fb_dst].set(-vel.reshape(-1, kit.dim)[kit.wm_fb_src])
-        return rf.reshape(kit.shape), vf.reshape(kit.shape + (kit.dim,))
+        r2 = rho.reshape(Nz, XS)
+        v2 = vel.reshape(Nz, XS, kit.dim)
+        base_r = rho_out.reshape(Nz, XS)
+        base_v = vel_out.reshape(Nz, XS, kit.dim)
+
+        A = jnp.concatenate(
+            [r2] + [v2[..., d] for d in range(kit.dim)], axis=0)
+        mirrored = (A @ kit.wm_G) @ kit.wm_S          # [ (1+dim)*Nz, XS ]
+
+        keep = 1.0 - kit.wm_colmask
+        r_out = base_r * keep + mirrored[:Nz]
+        v_out = jnp.stack(
+            [base_v[..., d] * keep - mirrored[(1 + d) * Nz:(2 + d) * Nz]
+             for d in range(kit.dim)], axis=-1)
+        return (r_out.reshape(kit.shape),
+                v_out.reshape(kit.shape + (kit.dim,)))
 
     for g, off in enumerate(kit.mirror_group_offsets):
         m = kit.mirror_group_masks[g]

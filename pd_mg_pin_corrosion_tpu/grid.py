@@ -320,25 +320,53 @@ def _build_mirror_table(cfg, node_type, pos, origin, Nx, Ny, Nz, stencil) -> np.
                 midx = _nearest_fluid_neighbor(n, shape, flat_nt, stencil)
             mirror[n] = midx
     else:
+        # 3D: the mirror map must be identical in every z-plane so the
+        # device-side application can be a single cross-section operator
+        # batched over the (sharded) z axis (see boundary._wall_mirror).
+        # The geometric mirror already is (it depends only on (x, y) and
+        # its in-tube target is in the accepted set at every k); the
+        # fallback therefore searches the nearest accepted node IN-PLANE
+        # (dz = 0) instead of the reference's nearest-FLUID 3D search
+        # (boundary.cpp:253-263), which is k-dependent near the axial
+        # ghost bands. Fallback nodes are the ~64 stair-case columns whose
+        # rounded mirror lands back in the wall band; the deviation only
+        # changes which nearby interior value pads those wall nodes.
         kk, jj, ii = np.unravel_index(wall_flat, shape)
         xs = pos[..., 0].ravel()[wall_flat]
         ys = pos[..., 1].ravel()[wall_flat]
+        mext = int(np.max(np.abs(stencil.offsets)))
+        col_cache: dict = {}
         for n, k, j, i, xv, yv in zip(wall_flat, kk, jj, ii, xs, ys):
+            col = (j, i)
+            if col in col_cache:
+                q = col_cache[col]
+                mirror[n] = k * (Nx * Ny) + q if q >= 0 else -1
+                continue
             r = math.sqrt(xv * xv + yv * yv)
-            midx = -1
+            q = -1
             if r > cfg.R_tube and r > 1e-30:
                 r_m = 2.0 * cfg.R_tube - r
-                x_m = xv * r_m / r
-                y_m = yv * r_m / r
-                i_m = int(round((x_m - origin[0]) / dx))
-                j_m = int(round((y_m - origin[1]) / dx))
-                if 0 <= i_m < Nx and 0 <= j_m < Ny:
-                    cand = k * (Nx * Ny) + j_m * Nx + i_m
-                    if flat_nt[cand] in accepted:
-                        midx = cand
-            if midx < 0:
-                midx = _nearest_fluid_neighbor(n, shape, flat_nt, stencil)
-            mirror[n] = midx
+                i_m = int(round((xv * r_m / r - origin[0]) / dx))
+                j_m = int(round((yv * r_m / r - origin[1]) / dx))
+                if 0 <= i_m < Nx and 0 <= j_m < Ny and \
+                        flat_nt[k * (Nx * Ny) + j_m * Nx + i_m] in accepted:
+                    q = j_m * Nx + i_m
+            if q < 0:
+                # nearest accepted node in-plane within the stencil extent
+                best_d = np.inf
+                for dj2 in range(-mext, mext + 1):
+                    for di2 in range(-mext, mext + 1):
+                        j2, i2 = j + dj2, i + di2
+                        if not (0 <= j2 < Ny and 0 <= i2 < Nx):
+                            continue
+                        d2 = dj2 * dj2 + di2 * di2
+                        if d2 == 0 or d2 >= best_d:
+                            continue
+                        if flat_nt[k * (Nx * Ny) + j2 * Nx + i2] in accepted:
+                            best_d = d2
+                            q = j2 * Nx + i2
+            col_cache[col] = q
+            mirror[n] = k * (Nx * Ny) + q if q >= 0 else -1
 
     return mirror.reshape(shape)
 

@@ -48,6 +48,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
         "gs_smo_idx", "gs_smo_nbr", "gs_smo_valid",
         "gs_smo_near_in", "gs_smo_near_out",
         "wm_src_cols", "wm_dst_cols", "wm_fb_src", "wm_fb_dst",
+        "wm_G", "wm_S", "wm_colmask",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
@@ -95,6 +96,14 @@ class Kit:
     wm_dst_cols: jax.Array       # [P] int32 cross-section wall columns
     wm_fb_src: jax.Array         # [F] int32 flat source indices
     wm_fb_dst: jax.Array         # [F] int32 flat wall indices
+    # One-hot cross-section mirror operators: XLA's gather/scatter at 1M+
+    # nodes inside device loops crashes the TPU runtime, and scatters are
+    # slow on TPU anyway — so the mirror is applied on the MXU instead:
+    # vals[Nz, P] = A[Nz, XS] @ wm_G, mirrored[Nz, XS] = vals @ wm_S, and
+    # out = A * (1 - wm_colmask) +- mirrored (sign: + density, - velocity).
+    wm_G: jax.Array              # [XS, P] f32 one-hot (column p <- src col)
+    wm_S: jax.Array              # [P, XS] f32 one-hot (row p -> dst col)
+    wm_colmask: jax.Array        # [XS] f32, 1.0 at mirrored wall columns
 
     # --- static metadata ---
     cfg: Config
@@ -306,11 +315,22 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         # 3D: z-invariant cross-section tables + flat fallback (see Kit)
         wm_src, wm_dst, wm_fb_src, wm_fb_dst = _mirror_tables_3d(
             shape, grid.mirror_idx)
+        XS = shape[1] * shape[2]
+        P = wm_dst.size
+        wm_G = np.zeros((XS, max(P, 1)), np.float32)
+        wm_S = np.zeros((max(P, 1), XS), np.float32)
+        wm_G[wm_src, np.arange(P)] = 1.0
+        wm_S[np.arange(P), wm_dst] = 1.0
+        wm_colmask = np.zeros((XS,), np.float32)
+        wm_colmask[wm_dst] = 1.0
         group_offsets = ((0,) * nt.ndim,)
         group_masks = np.zeros((1,) + shape, bool)
     else:
         # 2D: group wall-mirror sources by lattice offset (see Kit docstring)
         wm_src = wm_dst = wm_fb_src = wm_fb_dst = np.zeros((0,), np.int32)
+        wm_G = np.zeros((1, 1), np.float32)
+        wm_S = np.zeros((1, 1), np.float32)
+        wm_colmask = np.zeros((1,), np.float32)
         own = np.arange(midx.size)
         coords_own = np.stack(np.unravel_index(own, shape), -1)
         coords_src = np.stack(np.unravel_index(np.maximum(midx, 0), shape), -1)
@@ -374,4 +394,6 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         gs_smo_near_in=jnp.asarray(gs_ni), gs_smo_near_out=jnp.asarray(gs_no),
         wm_src_cols=jnp.asarray(wm_src), wm_dst_cols=jnp.asarray(wm_dst),
         wm_fb_src=jnp.asarray(wm_fb_src), wm_fb_dst=jnp.asarray(wm_fb_dst),
+        wm_G=jnp.asarray(wm_G), wm_S=jnp.asarray(wm_S),
+        wm_colmask=jnp.asarray(wm_colmask),
     )

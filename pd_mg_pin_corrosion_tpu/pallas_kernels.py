@@ -274,24 +274,43 @@ def pallas_applicable_3d(kit: Kit) -> bool:
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
     if nz * ny * nx < 100_000:
         return False
-    return (5 * rows * cols + 5 * nzb * Fr) * 4 <= _VMEM_BUDGET
+    # inputs live in HBM; VMEM holds only the 5 per-block DMA windows plus
+    # the Mosaic temporaries of one block's compute
+    win = _BZ + 2 * _PRZ
+    return (5 * win * cols + 12 * _BZ * Fr) * 4 <= _VMEM_BUDGET
 
 
 def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
                   dt_ref, rho_ref, vx_ref, vy_ref, vz_ref, act_ref, fl_ref,
-                  rho_out, vx_out, vy_out, vz_out):
+                  rho_out, vx_out, vy_out, vz_out,
+                  rho_s, vx_s, vy_s, vz_s, act_s, sems):
     cfg = kit.cfg
     nxp = kit.shape[2] + 2 * kit.mext
     i = pl.program_id(0)
     row0 = i * np.int32(_BZ)  # i32 under x64 (Mosaic rejects i64 indices)
     win = _BZ + 2 * _PRZ
 
+    # Inputs stay in HBM ([rows, cols] full arrays); DMA each block's
+    # halo'd window into VMEM scratch. Keeping whole 1M-node fields VMEM-
+    # resident needed ~105MB scoped and faulted the worker when embedded
+    # in the flow while_loop; the windows total ~4MB.
+    copies = []
+    for k, (hbm, scr) in enumerate(
+            [(rho_ref, rho_s), (vx_ref, vx_s), (vy_ref, vy_s),
+             (vz_ref, vz_s), (act_ref, act_s)]):
+        dma = pltpu.make_async_copy(hbm.at[pl.ds(row0, win), :], scr,
+                                    sems.at[k])
+        dma.start()
+        copies.append(dma)
+    for dma in copies:
+        dma.wait()
+
     w = {
-        "rho": rho_ref[pl.ds(row0, win), :],
-        "vx": vx_ref[pl.ds(row0, win), :],
-        "vy": vy_ref[pl.ds(row0, win), :],
-        "vz": vz_ref[pl.ds(row0, win), :],
-        "act": act_ref[pl.ds(row0, win), :],
+        "rho": rho_s[...],
+        "vx": vx_s[...],
+        "vy": vy_s[...],
+        "vz": vz_s[...],
+        "act": act_s[...],
     }
     # Tait pressure on the window (identical ops to ops.ns.tait_pressure)
     B = cfg.rho_f * cfg.c0 * cfg.c0 / cfg.gamma_eos
@@ -375,11 +394,11 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
         for d in range(3)
     ]
 
-    fluid = fl_ref[pl.ds(row0, _BZ), :]
-    rho_out[pl.ds(row0, _BZ), :] = jnp.where(fluid, rho_new, rho_i)
-    vx_out[pl.ds(row0, _BZ), :] = jnp.where(fluid, v_new[0], v_i[0])
-    vy_out[pl.ds(row0, _BZ), :] = jnp.where(fluid, v_new[1], v_i[1])
-    vz_out[pl.ds(row0, _BZ), :] = jnp.where(fluid, v_new[2], v_i[2])
+    fluid = fl_ref[...]
+    rho_out[...] = jnp.where(fluid, rho_new, rho_i)
+    vx_out[...] = jnp.where(fluid, v_new[0], v_i[0])
+    vy_out[...] = jnp.where(fluid, v_new[1], v_i[1])
+    vz_out[...] = jnp.where(fluid, v_new[2], v_i[2])
 
 
 def _flatten_3d(a, kit: Kit, nzb, Fr, pcf, fill=0.0):
@@ -416,14 +435,21 @@ def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
     kernel = functools.partial(_ns_kernel_3d, kit, nzb, Fr, pcf)
     out_shape = [jax.ShapeDtypeStruct((nzb, Fr), jnp.float32)] * 4
 
+    win = _BZ + 2 * _PRZ
     with jax.enable_x64(False):  # see ns_step_pallas
         rho_new, vx, vy, vz = pl.pallas_call(
             kernel,
             grid=(nzb // _BZ,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            # the 5 big fields stay in HBM; the kernel DMAs its window
+            + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5
+            + [pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)],      # fluid mask
+            out_specs=[pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)] * 4,
             out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((win, cols), jnp.float32)] * 5
+            + [pltpu.SemaphoreType.DMA((5,))],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )(dt_arr, *args, fl)
