@@ -131,6 +131,12 @@ class Config:
     # flow after every dissolution event; a 1M-node ASCII VTI is ~130MB
     # and minutes of host serialization each.
     flow_output_stride: int = 1
+    # Iteration budget for flow RE-solves after dissolution events (0 =
+    # use flow_max_iters, the reference behavior). Warm restarts barely
+    # change the field; at 1M+ 3D nodes the acoustic-ringing eps floor
+    # sits above flow_conv_tol, so uncapped re-solves burn the full
+    # flow_max_iters budget every cycle.
+    flow_max_iters_resolve: int = 0
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -163,7 +169,7 @@ class Config:
             "implicit_output_every", "diagnostic_every", "newton_max_iter",
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
-            "flow_output_stride",
+            "flow_output_stride", "flow_max_iters_resolve",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})

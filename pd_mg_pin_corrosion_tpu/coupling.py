@@ -204,8 +204,12 @@ class CoupledSolver:
                 print(f"  Flow re-solve triggered ({self.dissolved_since_flow} "
                       f"nodes dissolved since last flow solve)")
                 verbose_flow = bool(os.environ.get("PD_TPU_VERBOSE_FLOW"))
+                is_resolve = cycle > 1 or self.total_dissolved > 0
+                cap = (cfg.flow_max_iters_resolve
+                       if is_resolve and cfg.flow_max_iters_resolve > 0
+                       else None)
                 state, iters, eps, conv, div = solve_steady(
-                    state, kit, verbose=verbose_flow)
+                    state, kit, verbose=verbose_flow, max_iters=cap)
                 state = ops.update_fictitious(state, kit)  # coupling.cpp:139
                 state.rho.block_until_ready()
                 print(f"  Flow: {int(iters)} iters, eps={float(eps):.3e}, "

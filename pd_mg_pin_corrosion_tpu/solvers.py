@@ -150,7 +150,8 @@ def _solve_steady_segment(carry, seg_end, kit: Kit, verbose: bool = False):
     return jax.lax.while_loop(cond, body, carry)
 
 
-def solve_steady(state: State, kit: Kit, verbose: bool = False):
+def solve_steady(state: State, kit: Kit, verbose: bool = False,
+                 max_iters: int | None = None):
     """Run the flow solver to steady state (host-segmented device loops).
 
     Returns (state, iters, eps, converged, diverged). ``iters`` is the
@@ -161,21 +162,33 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False):
     """
     cfg = kit.cfg
     ops = ops_for(kit)
+    cap = cfg.flow_max_iters if max_iters is None else max_iters
     dt0 = jax.jit(ops.compute_dt_ns)(state, kit)
 
     # gather-based (unstructured/AMR) iterations are ~10x costlier than
     # stencil-shift ones; keep device executions equally short
     seg_iters = FLOW_SEGMENT_ITERS if is_structured(kit) else FLOW_SEGMENT_ITERS // 8
 
+    import os
+    import time as _time
+    trace = bool(os.environ.get("PD_TPU_FLOW_TRACE")) or cfg.dim == 3
+
     carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype),
              dt0, jnp.asarray(False), jnp.asarray(False))
     seg_end = 0
+    t_seg = _time.time()
     while True:
-        seg_end = min(seg_end + seg_iters, cfg.flow_max_iters)
+        seg_end = min(seg_end + seg_iters, cap)
         carry = _solve_steady_segment(
             carry, jnp.asarray(seg_end, jnp.int32), kit, verbose)
-        _, it, _, _, conv, div = carry
-        if bool(conv) or bool(div) or int(it) > cfg.flow_max_iters:
+        _, it, eps_c, _, conv, div = carry
+        if trace:
+            # host-side progress telemetry (jax.debug.print is unsupported
+            # on the axon backend); int(it) also fences the segment
+            print(f"    [flow] iter {int(it) - 1}  eps={float(eps_c):.3e}  "
+                  f"({_time.time() - t_seg:.1f}s/seg)", flush=True)
+            t_seg = _time.time()
+        if bool(conv) or bool(div) or int(it) > cap:
             break
 
     st, it, eps, _, conv, div = carry

@@ -56,6 +56,12 @@ def run_ops(cfg, grid, kit, state):
     # op.W (~400MB in 3D) as an HLO constant and blow the remote compiler's
     # request-size limit.
     res = {}
+    from pd_mg_pin_corrosion_tpu.ops.ns import compute_dt, ns_step
+    dtf = jax.jit(compute_dt)(state, kit)
+    s0 = jax.jit(ns_step)(state, kit, dtf)
+    res["ns_rho"] = np.asarray(s0.rho)
+    res["ns_vel"] = np.asarray(s0.vel)
+
     s1 = jax.jit(ard.ard_step)(state, kit, 1e-5, 0.1)
     res["ard_C"] = np.asarray(s1.C)
 
