@@ -137,6 +137,17 @@ class Config:
     # sits above flow_conv_tol, so uncapped re-solves burn the full
     # flow_max_iters budget every cycle.
     flow_max_iters_resolve: int = 0
+    # Exit the implicit inner loop when this many solid nodes are below
+    # C_thresh (1 = the reference's exit-at-first-dissolution,
+    # coupling.cpp:174-213). At 3D scale (30k+ surface nodes) dissolution
+    # events are ~1 node apart in time and per-event flow re-solves make
+    # the run O(events); batching them is physically benign (the reference
+    # itself allows up to corrosion_steps_per_check steps between checks
+    # when nothing dissolves).
+    dissolution_batch: int = 1
+    # Lower clamp of the adaptive implicit dt as a fraction of
+    # implicit_dt_max (reference: 0.01, pd_ard_implicit.cpp:486).
+    implicit_dt_min_frac: float = 0.01
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -170,6 +181,7 @@ class Config:
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
             "flow_output_stride", "flow_max_iters_resolve",
+            "dissolution_batch",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})

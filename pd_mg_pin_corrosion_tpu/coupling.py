@@ -92,11 +92,11 @@ def implicit_inner_step(state: State, op, kit):
     state = ops.smooth_boundary_concentration(state, kit)
     state = ops.update_fictitious(state, kit)
 
-    dissolved_any = jnp.any(
-        (state.node_type == SOLID_MG) & (state.C < kit.cfg.C_thresh)
-    )
+    n_below = jnp.sum(
+        ((state.node_type == SOLID_MG) & (state.C < kit.cfg.C_thresh))
+        .astype(jnp.int32))
     diag = diagnostics(state, kit)
-    return state, dt, dissolved_any, res, diag
+    return state, dt, n_below, res, diag
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -242,7 +242,7 @@ class CoupledSolver:
                 gmres_tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
                 while (implicit_step_n < cfg.corrosion_steps_per_check
                        and t_corr < cfg.T_final and not dissolution_occurred):
-                    state, dt, dissolved_any, res, diag = implicit_inner_step(
+                    state, dt, n_below, res, diag = implicit_inner_step(
                         state, op, kit)
                     if float(res) > 100.0 * gmres_tol:
                         # failure-detection telemetry (pd_ard_implicit.cpp:411-414)
@@ -257,7 +257,11 @@ class CoupledSolver:
                     if self.total_implicit_steps % cfg.implicit_output_every == 0:
                         self._write_state(cfg, grid, state, "corr", t_corr,
                                           self.writer)
-                    dissolution_occurred = bool(dissolved_any)
+                    # reference: exit at the first dissolution event
+                    # (coupling.cpp:207-212); dissolution_batch > 1 defers
+                    # the exit until enough nodes are below threshold
+                    dissolution_occurred = int(n_below) >= max(
+                        cfg.dissolution_batch, 1)
 
                 print(f"  Implicit cycle: {implicit_step_n} steps, "
                       f"t={t_cycle_start:.2f} to {t_corr:.2f} s "

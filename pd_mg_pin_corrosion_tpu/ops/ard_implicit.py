@@ -297,5 +297,5 @@ def compute_adaptive_dt(state: State, op: ImplicitOperator, kit: Kit) -> jax.Arr
 
     dt = cfg.implicit_dt_fraction * min_t
     dt = jnp.minimum(dt, cfg.implicit_dt_max)
-    dt = jnp.maximum(dt, cfg.implicit_dt_max * 0.01)
+    dt = jnp.maximum(dt, cfg.implicit_dt_max * cfg.implicit_dt_min_frac)
     return dt
