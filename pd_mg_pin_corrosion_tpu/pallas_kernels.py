@@ -62,6 +62,10 @@ def _geometry(kit: Kit):
 # while the default backend is TPU — Mosaic kernels only lower on TPU)
 FORCE_DISABLE = False
 
+# set True to run kernels through the Pallas interpreter (CPU-executable;
+# used by the CI-able kernel-logic tests in tests/test_pallas.py)
+INTERPRET = False
+
 
 def _on_tpu() -> bool:
     if FORCE_DISABLE:
@@ -218,6 +222,7 @@ def ns_step_pallas(state: State, kit: Kit, dt) -> State:
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
             out_shape=out_shape,
+            interpret=INTERPRET,
         )(dt_arr, *args, fluid)
 
     rho_new = rho_new[:ny, :nx]
@@ -452,6 +457,7 @@ def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
             + [pltpu.SemaphoreType.DMA((5,))],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=INTERPRET,
         )(dt_arr, *args, fl)
 
     def unflatten(a):
@@ -535,5 +541,6 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
             out_specs=pl.BlockSpec((_BY_MV, nxr), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nyb, nxr), jnp.float32),
+            interpret=INTERPRET,
         )(x_p, W, diag, unk)
     return y[:ny, :nx]
