@@ -24,6 +24,10 @@ from .fields import State
 _IO_KEYS = frozenset({
     "output_dir", "resume_from", "checkpoint_every", "implicit_output_every",
     "diagnostic_every", "output_every_flow", "output_every_corr", "T_final",
+    # loop-cadence caps: they shape how the run proceeds from here, not
+    # whether the stored state is compatible with this grid/physics
+    "flow_max_iters", "flow_max_iters_resolve", "flow_output_stride",
+    "corrosion_steps_per_check", "dissolution_batch",
 })
 
 

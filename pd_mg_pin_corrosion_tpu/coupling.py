@@ -175,7 +175,16 @@ class CoupledSolver:
         from .checkpoint import fingerprint, load_checkpoint, save_checkpoint
         fp = fingerprint(cfg, grid)
         if cfg.resume_from:
-            state, t_corr, meta = load_checkpoint(cfg.resume_from, state, fp)
+            if os.environ.get("PD_TPU_RESUME_FORCE"):
+                # escape hatch for fingerprint-schema migrations: skip the
+                # compatibility check (the caller asserts compatibility)
+                print("WARNING: PD_TPU_RESUME_FORCE set — skipping "
+                      "checkpoint fingerprint verification")
+                fp_check = ""
+            else:
+                fp_check = fp
+            state, t_corr, meta = load_checkpoint(cfg.resume_from, state,
+                                                  fp_check)
             self.total_implicit_steps = meta.get("total_implicit_steps", 0)
             self.total_dissolved = meta.get("total_dissolved", 0)
             cycle = meta.get("cycle", 0)
