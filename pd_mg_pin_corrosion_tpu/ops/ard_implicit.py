@@ -263,14 +263,22 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         # solver quality; each refinement multiplies the residual by the
         # inner solve's relative accuracy (~1e-2), so two passes reach 1e-8
         x64 = x.astype(f64)
-        for _ in range(2):
+
+        def refine_pass(x64):
             r64 = b64 - A64(x64)
             # correction solve in f32 on the f64-accurate residual; GMRES
             # normalizes internally so the small scale is benign
             e, _ = gmres(A, r64.astype(kit.jdtype),
                          jnp.zeros_like(x), tol=1e-2, restart=restart,
                          maxiter=restart * 2, M=precond)
-            x64 = x64 + e.astype(f64)
+            return x64 + e.astype(f64)
+
+        x64 = refine_pass(x64)
+        res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
+        # second pass only when the first did not reach tol (typical only
+        # at stiff dt; at moderate dt it would waste an f64 matvec + an
+        # inner solve per step)
+        x64 = jax.lax.cond(res > tol, refine_pass, lambda v: v, x64)
         res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
         x = x64.astype(kit.jdtype)
 
