@@ -544,3 +544,165 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
             interpret=INTERPRET,
         )(x_p, W, diag, unk)
     return y[:ny, :nx]
+
+
+# ---------------------------------------------------------------------------
+# Fused explicit-ARD bond kernel (2D structured)
+# ---------------------------------------------------------------------------
+#
+# Same roll-with-aligned-margins strategy as the NS kernel. Per-node
+# quantities that depend only on node data (fluid-like/solid masks, the
+# decayed solid-side micro-diffusivity, the salt-block flag, |v|) are
+# precomputed in XLA and streamed as fields; the kernel fuses the
+# bi-material bond classification + diffusion/advection sums
+# (pd_ard.cpp:81-191) over all stencil slots in one pass per row block.
+
+
+def ard_applicable(kit: Kit) -> bool:
+    if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
+        return False
+    if kit.mext > _PR:
+        return False
+    ny, nx, nyb, nxr, rows, cols = _geometry(kit)
+    if ny * nx < 100_000:
+        return False
+    return (9 * rows * cols + 4 * nyb * nxr) * 4 <= _VMEM_BUDGET
+
+
+def _ard_kernel(kit: Kit, nyb: int, nxr: int, dt_ref,
+                C_ref, vx_ref, vy_ref, vm_ref, jf_ref, js_ref, tv_ref,
+                Ds_ref, bl_ref, fi_ref, si_ref, C_out):
+    cfg = kit.cfg
+    i = pl.program_id(0)
+    row0 = i * np.int32(_BY)
+    win = _BY + 2 * _PR
+
+    w = {k: r[pl.ds(row0, win), :] for k, r in [
+        ("C", C_ref), ("vm", vm_ref), ("jf", jf_ref), ("js", js_ref),
+        ("tv", tv_ref), ("Ds", Ds_ref), ("bl", bl_ref)]}
+
+    def center(a):
+        return a[_PR:_PR + _BY, _PC:_PC + nxr]
+
+    C_i = center(w["C"])
+    # dedicated center masks (fi = FLUID, si = SOLID): jf conflates
+    # FLUID with INLET/OUTLET/FICTITIOUS for the neighbor side
+    fi = fi_ref[pl.ds(row0, _BY), :]
+    si = si_ref[pl.ds(row0, _BY), :]
+    # center |v| is fluid-masked, the neighbor side uses the raw field
+    # (pd_ard.cpp:164-170 semantics: vmag_i masked, vmag_j not)
+    vm_i = center(w["vm"]) * fi
+    Ds_i = center(w["Ds"])
+    bl_i = center(w["bl"])
+    vx_i = center(vx_ref[pl.ds(row0, win), :])
+    vy_i = center(vy_ref[pl.ds(row0, win), :])
+
+    zero = jnp.zeros((_BY, nxr), jnp.float32)
+    diff_sum = zero
+    adv_sum = zero
+    beta_i = kit.beta_lap
+
+    for s, xi, e_ij, vol in kit.bond_iter():
+        dj, di = kit.offsets[s]
+
+        def sh(key):
+            a = w[key]
+            r = pltpu.roll(a, np.int32((-dj) % a.shape[0]), 0) if dj else a
+            r = pltpu.roll(r, np.int32((-di) % r.shape[1]), 1) if di else r
+            return center(r)
+
+        V_j = vol * sh("tv")
+        C_j = sh("C")
+        jf = sh("jf")
+        js = sh("js")
+
+        ll = fi * jf
+        ss = si * js
+        iface = fi * js + si * jf
+
+        Ds_j = sh("Ds")
+        solid_D = si * Ds_i + (1.0 - si) * Ds_j
+        blocked = si * bl_i + (1.0 - si) * sh("bl")
+        D_iface = (1.0 - blocked) * (
+            2.0 * cfg.D_liquid * solid_D / (cfg.D_liquid + solid_D + 1e-30))
+        D_avg = ll * cfg.D_liquid + iface * D_iface
+
+        D_art = ll * (cfg.alpha_art_diff
+                      * jnp.maximum(vm_i, sh("vm")) * cfg.dx)
+
+        inv_xi = 1.0 / xi
+        inv_xi2 = inv_xi * inv_xi
+        dC = C_j - C_i
+
+        diff_sum += beta_i * (D_avg + D_art) * dC * inv_xi2 * V_j * (1.0 - ss)
+        v_dot_e = vx_i * e_ij[0] + vy_i * e_ij[1]
+        adv_sum += ll * dC * v_dot_e * inv_xi * V_j
+
+    dt = dt_ref[0, 0]
+    div_coeff = kit.alpha / kit.V_H
+    C_new = jnp.maximum(C_i + dt * (diff_sum - div_coeff * adv_sum), 0.0)
+    active = fi + si
+    C_out[pl.ds(row0, _BY), :] = active * C_new + (1.0 - active) * C_i
+
+
+@jax.jit
+def ard_step_pallas(state: State, kit: Kit, dt,
+                    volume_loss_fraction=0.0) -> State:
+    """Drop-in replacement for ops.ard.ard_step (2D f32 structured)."""
+    from .grid import FICTITIOUS, INLET, OUTLET, SOLID_MG, WALL
+    from .ops.ard import compute_salt_blocked
+
+    cfg = kit.cfg
+    ny, nx, nyb, nxr, rows, cols = _geometry(kit)
+    nt = state.node_type
+    fi = nt == FLUID
+    si = nt == SOLID_MG
+
+    salt = compute_salt_blocked(state, kit)
+    if cfg.corrosion_decay_l > 0.0:
+        decay = jnp.power(
+            10.0, -jnp.asarray(volume_loss_fraction, jnp.float32)
+            / cfg.corrosion_decay_l)
+    else:
+        decay = jnp.asarray(1.0, jnp.float32)
+    Ds = jnp.where(state.is_gb, cfg.D_gb,
+                   jnp.where(state.is_precip, cfg.D_precip,
+                             cfg.D_grain)) * decay
+    vel_f = jnp.where(fi[..., None], state.vel, 0.0)
+    vmag = jnp.linalg.norm(state.vel, axis=-1)
+    jf = ((nt == FLUID) | (nt == INLET) | (nt == OUTLET)
+          | (nt == FICTITIOUS)).astype(jnp.float32)
+    js = si.astype(jnp.float32)
+    tv = ((nt != WALL) & (nt != OUTSIDE)).astype(jnp.float32)
+
+    def pad(a, fill=0.0):
+        return _pad_aligned(a.astype(jnp.float32), ny, nx, nyb, nxr, fill)
+
+    args = [pad(state.C), pad(vel_f[..., 0]), pad(vel_f[..., 1]),
+            pad(vmag), pad(jf), pad(js), pad(tv),
+            pad(Ds), pad(salt.astype(jnp.float32))]
+    fi_a = jnp.pad(fi.astype(jnp.float32), ((0, nyb - ny), (0, nxr - nx)))
+    si_a = jnp.pad(si.astype(jnp.float32), ((0, nyb - ny), (0, nxr - nx)))
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(_ard_kernel, kit, nyb, nxr)
+    with jax.enable_x64(False):  # see ns_step_pallas
+        C_new = pl.pallas_call(
+            kernel,
+            grid=(nyb // _BY,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nyb, nxr), jnp.float32),
+            interpret=INTERPRET,
+        )(dt_arr, *args, fi_a, si_a)
+
+    return replace(state, C=C_new[:ny, :nx])
+
+
+def ard_step_auto(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
+    """Pallas explicit-ARD kernel when applicable, XLA form otherwise."""
+    from .ops.ard import ard_step as ard_step_xla
+    if ard_applicable(kit):
+        return ard_step_pallas(state, kit, dt, volume_loss_fraction)
+    return ard_step_xla(state, kit, dt, volume_loss_fraction)

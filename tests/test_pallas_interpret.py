@@ -76,3 +76,24 @@ def test_pallas_3d_interpret_matches_xla():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
                                rtol=1e-4, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_ard_kernel_interpret_matches_xla():
+    from dataclasses import replace as _rep
+
+    from pd_mg_pin_corrosion_tpu.ops.ard import ard_step
+
+    kit, state = _small_f32_2d()
+    rng = np.random.default_rng(5)
+    state = _rep(state, C=jnp.asarray(
+        np.where(np.asarray(state.node_type) == 1, 1.0,
+                 0.3 * rng.random(kit.shape)), jnp.float32))
+    ref = jax.jit(lambda s: ard_step(s, kit, 1e-4, 0.1))(state)
+    pk.INTERPRET = True
+    try:
+        out = pk.ard_step_pallas(state, kit, 1e-4, 0.1)
+    finally:
+        pk.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(out.C), np.asarray(ref.C),
+                               rtol=1e-5, atol=1e-7)
