@@ -245,8 +245,22 @@ def _wall_mirror(state: State, kit: Kit, rho, vel):
         v_out = jnp.stack(
             [base_v[..., d] * keep - mirrored[(1 + d) * Nz:(2 + d) * Nz]
              for d in range(kit.dim)], axis=-1)
-        return (r_out.reshape(kit.shape),
-                v_out.reshape(kit.shape + (kit.dim,)))
+        r_out = r_out.reshape(kit.shape)
+        v_out = v_out.reshape(kit.shape + (kit.dim,))
+
+        # Fallback set (mirror source in a different z-plane / non-invariant
+        # column): a tiny flat gather/scatter, same symmetry as the primary
+        # path (rho symmetric, vel antisymmetric). Static shape: empty on
+        # production grids, so no gather is emitted there at all.
+        if kit.wm_fb_dst.shape[0]:
+            rf = r_out.reshape(-1)
+            vf = v_out.reshape(-1, kit.dim)
+            rf = rf.at[kit.wm_fb_dst].set(rho.reshape(-1)[kit.wm_fb_src])
+            vf = vf.at[kit.wm_fb_dst].set(
+                -vel.reshape(-1, kit.dim)[kit.wm_fb_src])
+            r_out = rf.reshape(kit.shape)
+            v_out = vf.reshape(kit.shape + (kit.dim,))
+        return r_out, v_out
 
     for g, off in enumerate(kit.mirror_group_offsets):
         m = kit.mirror_group_masks[g]

@@ -1,9 +1,12 @@
 """CLI entry point — mirrors the reference binary (src/main.cpp:129-177):
 
-    python -m pd_mg_pin_corrosion_tpu [params.cfg]
+    python -m pd_mg_pin_corrosion_tpu [params.cfg] [key=value ...]
 
 Loads the config (default config/params.cfg), builds grid + grains + state,
-and runs the coupled solver.
+and runs the coupled solver. Trailing ``key=value`` arguments override
+config keys — run-specific settings like ``resume_from=.../checkpoint.npz``
+belong here, not inside workload configs (which must run from a clean
+checkout).
 """
 
 from __future__ import annotations
@@ -18,7 +21,16 @@ def main(argv=None) -> int:
     print("=== Peridynamic Mg-Pin Corrosion Simulation (TPU-native) ===")
 
     from .config import Config
-    cfg = Config.load(argv[0] if argv else "config/params.cfg")
+    cfg_path = "config/params.cfg"
+    overrides = []
+    for a in argv:
+        if "=" in a:
+            overrides.append(a)
+        else:
+            cfg_path = a
+    cfg = Config.load(cfg_path)
+    if overrides:
+        cfg.apply_overrides(overrides)
     print(f"  Dimension: {cfg.dim}D\n")
     cfg.print()
 
@@ -52,7 +64,10 @@ def main(argv=None) -> int:
         atexit.register(jax.profiler.stop_trace)
 
     print("Building grid...")
-    if cfg.use_amr:
+    if cfg.use_amr and cfg.amr_backend == "structured":
+        from .amr_blocks import build_amr_block_grid
+        grid = build_amr_block_grid(cfg)
+    elif cfg.use_amr:
         from .amr import build_amr_grid
         grid = build_amr_grid(cfg)
     else:
@@ -63,13 +78,20 @@ def main(argv=None) -> int:
         print("Node types: " + " ".join(f"{k}={v}" for k, v in counts.items()))
 
     print("Generating grain structure...")
-    from . import grains as grains_mod
-    grains = grains_mod.generate(grid, cfg)
+    if cfg.use_amr and cfg.amr_backend == "structured":
+        from .amr_blocks import generate_grains_b
+        grains = generate_grains_b(grid, cfg)
+    else:
+        from . import grains as grains_mod
+        grains = grains_mod.generate(grid, cfg)
 
     print("Initializing fields...")
     from .fields import initialize_state
 
-    if cfg.use_amr:
+    if cfg.use_amr and cfg.amr_backend == "structured":
+        from .amr_blocks import build_bkit
+        kit = build_bkit(grid, cfg)
+    elif cfg.use_amr:
         from .unstructured import build_ukit
         kit = build_ukit(grid, cfg)
     else:

@@ -104,6 +104,10 @@ class Config:
     use_amr: int = 0
     amr_ratio: int = 3
     amr_buffer: float = 50.0e-6
+    # AMR device backend: "structured" (two dense blocks + IDW exchange;
+    # stencil-shift speed, the TPU-native form) or "gather" (round-2
+    # fixed-degree padded neighbor arrays; kept for cross-validation)
+    amr_backend: str = "structured"
 
     # ---- extensions (not present in reference configs) ----
     dim: int = 2
@@ -184,7 +188,8 @@ class Config:
             "dissolution_batch",
         }
     )
-    _STR_KEYS = frozenset({"output_dir", "precision", "resume_from"})
+    _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",
+                           "amr_backend"})
 
     @classmethod
     def load(cls, filename: str) -> "Config":
@@ -230,6 +235,28 @@ class Config:
                     setattr(cfg, key, float(val))
 
         return cfg.compute_derived()
+
+    def apply_overrides(self, overrides) -> "Config":
+        """Apply ``key=value`` strings (CLI overrides) on top of the loaded
+        config, with the same typing rules as the file parser, then
+        recompute derived quantities."""
+        known = {f.name for f in dataclasses.fields(self)}
+        for item in overrides:
+            key, _, val = item.partition("=")
+            key, val = key.strip(), val.strip()
+            if key not in known or key in ("delta", "U_in", "dx_coarse",
+                                           "delta_coarse"):
+                print(f"Warning: Unknown override key '{key}'",
+                      file=sys.stderr)
+                continue
+            if key in self._STR_KEYS:
+                setattr(self, key, val)
+            elif key in self._INT_KEYS:
+                setattr(self, key, int(float(val)))
+            else:
+                setattr(self, key, float(val))
+            print(f"  Override: {key} = {val}")
+        return self.compute_derived()
 
     # ------------------------------------------------------------------
 

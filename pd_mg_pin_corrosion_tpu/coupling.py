@@ -127,6 +127,7 @@ class CoupledSolver:
         self.total_implicit_steps = 0
         self.total_dissolved = 0
         self.dissolved_since_flow = 0
+        self.flow_solve_count = 0
 
     # ------------------------------------------------------------------
     def _filename(self, cfg, prefix, time_s):
@@ -148,6 +149,37 @@ class CoupledSolver:
         with open(f"{cfg.output_dir}/mass_loss.csv", "w") as f:
             f.write("time_h,pin_mass_loss_pct\n")
 
+    def _resume_csv(self, cfg, t_corr):
+        """On resume, PRESERVE the existing CSV history: keep every row at
+        or before the checkpoint time and drop rows written after it
+        (outputs from the killed run past the checkpoint), so appending
+        continues a monotone, gap-free curve. A missing file just gets its
+        header. (Round-2 VERDICT weak #1: the unconditional _init_csv here
+        truncated the flagship run's history on every resume.)"""
+        specs = [("diagnostics.csv",
+                  "time_s,time_h,pin_mass_loss_pct,solid_nodes,v_max,C_max_fluid\n",
+                  1.0),
+                 ("mass_loss.csv", "time_h,pin_mass_loss_pct\n", 3600.0)]
+        for name, header, t_div in specs:
+            path = f"{cfg.output_dir}/{name}"
+            kept = []
+            if os.path.exists(path):
+                with open(path) as f:
+                    rows = f.readlines()[1:]
+                for row in rows:
+                    try:
+                        t_row = float(row.split(",", 1)[0]) * t_div
+                    except ValueError:
+                        continue
+                    if t_row <= t_corr + 1e-6:
+                        kept.append(row)
+            with open(path, "w") as f:
+                f.write(header)
+                f.writelines(kept)
+            if kept:
+                print(f"  Resume: kept {len(kept)} {name} rows up to "
+                      f"t={t_corr:.1f} s")
+
     def _write_diagnostics(self, cfg, t, diag):
         loss, solid, v_max, C_max = (float(diag[0]), int(diag[1]),
                                      float(diag[2]), float(diag[3]))
@@ -166,29 +198,43 @@ class CoupledSolver:
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.writer.set_pvd_path(f"{cfg.output_dir}/simulation.pvd")
         self.flow_writer.set_pvd_path(f"{cfg.output_dir}/flow.pvd")
-        self._init_csv(cfg)
 
         t_corr = 0.0
         cycle = 0
 
         # checkpoint/resume (new capability)
-        from .checkpoint import fingerprint, load_checkpoint, save_checkpoint
+        from .checkpoint import (cfg_items_json, fingerprint,
+                                 grid_fingerprint, load_checkpoint,
+                                 save_checkpoint)
         fp = fingerprint(cfg, grid)
+        fp_grid = grid_fingerprint(grid)
+        cfg_json = cfg_items_json(cfg)
         if cfg.resume_from:
-            if os.environ.get("PD_TPU_RESUME_FORCE"):
-                # escape hatch for fingerprint-schema migrations: skip the
-                # compatibility check (the caller asserts compatibility)
-                print("WARNING: PD_TPU_RESUME_FORCE set — skipping "
-                      "checkpoint fingerprint verification")
-                fp_check = ""
-            else:
-                fp_check = fp
-            state, t_corr, meta = load_checkpoint(cfg.resume_from, state,
-                                                  fp_check)
+            # PD_TPU_RESUME_FORCE (fingerprint-schema migrations) downgrades
+            # a cfg-hash mismatch to a warning + key diff; the grid portion
+            # of the fingerprint is still verified (load_checkpoint).
+            force = bool(os.environ.get("PD_TPU_RESUME_FORCE"))
+            state, t_corr, meta = load_checkpoint(
+                cfg.resume_from, state, fp, force=force, fp_grid=fp_grid,
+                cfg_json=cfg_json)
             self.total_implicit_steps = meta.get("total_implicit_steps", 0)
             self.total_dissolved = meta.get("total_dissolved", 0)
             cycle = meta.get("cycle", 0)
-            print(f"Resumed from {cfg.resume_from} at t={t_corr:.1f} s")
+            # continue (not restart) the CSV curves and PVD collections
+            self._resume_csv(cfg, t_corr)
+            n_sim = self.writer.load_pvd(f"{cfg.output_dir}/simulation.pvd",
+                                         t_max=t_corr)
+            n_flow = self.flow_writer.load_pvd(f"{cfg.output_dir}/flow.pvd",
+                                               t_max=t_corr)
+            # pre-frame_count checkpoints: every snapshot added exactly one
+            # entry to one of the two collections, so their combined count
+            # is the next collision-free frame number
+            self.frame_count = meta.get("frame_count", n_sim + n_flow)
+            self.flow_solve_count = meta.get("flow_solve_count", n_flow)
+            print(f"Resumed from {cfg.resume_from} at t={t_corr:.1f} s "
+                  f"(frame {self.frame_count}, {n_sim}+{n_flow} PVD entries)")
+        else:
+            self._init_csv(cfg)
 
         n_init_solid = int(np.asarray(kit.initial_solid_mask).sum())
         print(f"Initial solid nodes: {n_init_solid}")
@@ -232,7 +278,7 @@ class CoupledSolver:
                               f"L2 rel error = {err:.3e}")
                 self.dissolved_since_flow = 0
                 need_flow_solve = False
-                self.flow_solve_count = getattr(self, "flow_solve_count", 0) + 1
+                self.flow_solve_count += 1
                 if (self.flow_solve_count - 1) % max(cfg.flow_output_stride, 1) == 0:
                     self._write_state(cfg, grid, state, "flow", t_corr,
                                       self.flow_writer)
@@ -323,8 +369,10 @@ class CoupledSolver:
                 save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                                 {"cycle": cycle,
                                  "total_implicit_steps": self.total_implicit_steps,
-                                 "total_dissolved": self.total_dissolved},
-                                fp)
+                                 "total_dissolved": self.total_dissolved,
+                                 "frame_count": self.frame_count,
+                                 "flow_solve_count": self.flow_solve_count},
+                                fp, fp_grid=fp_grid, cfg_json=cfg_json)
 
             solid_remaining = int(jnp.sum(
                 (state.node_type == SOLID_MG).astype(jnp.int32)))

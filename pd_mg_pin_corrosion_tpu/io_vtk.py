@@ -12,6 +12,7 @@ time series (vtk_writer.cpp:148-158).
 from __future__ import annotations
 
 import io
+import os
 import sys
 
 import numpy as np
@@ -201,6 +202,29 @@ class VTKWriter:
     # ------------------------------------------------------------------
     def set_pvd_path(self, path: str) -> None:
         self._pvd_path = path
+
+    def load_pvd(self, filename: str, t_max: float | None = None) -> int:
+        """Reload collection entries from an existing PVD (resume support:
+        without this, a resumed run rewrites the collection with only
+        post-resume snapshots and orphans the earlier time series).
+        Entries after ``t_max`` (outputs written past the checkpoint being
+        resumed) are dropped. Returns the number of entries loaded."""
+        import re
+
+        if not os.path.exists(filename):
+            return 0
+        pvd_dir = filename[: filename.rfind("/") + 1] if "/" in filename else ""
+        pat = re.compile(r'<DataSet timestep="([^"]+)" file="([^"]+)"/>')
+        entries = []
+        with open(filename) as f:
+            for line in f:
+                m = pat.search(line)
+                if m:
+                    t = float(m.group(1))
+                    if t_max is None or t <= t_max + 1e-9:
+                        entries.append((t, pvd_dir + m.group(2)))
+        self._entries = entries
+        return len(entries)
 
     def add_timestep(self, time: float, vti_file: str) -> None:
         self._entries.append((time, vti_file))

@@ -52,7 +52,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
-                 "mirror_group_offsets"],
+                 "mirror_group_offsets", "multi_device"],
 )
 @dataclass(frozen=True)
 class Kit:
@@ -122,6 +122,11 @@ class Kit:
     inlet_rows: int
     outlet_rows: int
     mirror_group_offsets: tuple  # n_groups x ndim int tuples (array axes)
+    # set by parallel.sharding.shard_kit: the per-node arrays carry a
+    # multi-device axial sharding. Static so trace-time dispatch (e.g.
+    # pallas_kernels.*_applicable) can route around single-device kernels
+    # that have no SPMD partitioning rule (round-2 ADVICE, low).
+    multi_device: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -255,7 +260,7 @@ def _gs_tables(nt: np.ndarray, offsets: np.ndarray, near_in: np.ndarray,
             near_in.ravel()[smo_idx], near_out.ravel()[smo_idx])
 
 
-def _mirror_tables_3d(shape, mirror_idx: np.ndarray):
+def _mirror_tables_3d(shape, mirror_idx: np.ndarray, node_type: np.ndarray):
     """Split the 3D wall-mirror table into z-invariant cross-section columns
     and a flat fallback list (see the Kit field comments).
 
@@ -266,23 +271,37 @@ def _mirror_tables_3d(shape, mirror_idx: np.ndarray):
     {FLUID, INLET, OUTLET, SOLID_MG} passes at every k for in-tube points).
     Everything else (nearest-FLUID fallback, boundary.cpp:253-263) goes to
     the flat list.
+
+    Invariance is judged only over z-planes that actually carry a mirror at
+    the column; planes without one must be OUTSIDE (the z-batched MXU
+    application overwrites the column in *every* plane, which is only safe
+    on dead nodes). Axially padded grids (grid.pad_grid_axial for
+    multi-device sharding) append OUTSIDE z-planes — under the previous
+    all-planes rule those demoted every wall column to the (unapplied)
+    fallback list, silently turning the 3D wall BC into a no-op on padded
+    grids (round-2 ADVICE, high).
     """
     Nz = shape[0]
     XS = shape[1] * shape[2]
     mi = mirror_idx.reshape(Nz, XS)
+    nt = node_type.reshape(Nz, XS)
     has = mi >= 0
 
     src_k = np.where(has, mi // XS, -1)
     src_q = np.where(has, mi % XS, -1)
     own_k = np.broadcast_to(np.arange(Nz)[:, None], (Nz, XS))
 
-    all_have = has.all(axis=0)
-    in_plane = (src_k == own_k) | ~has
-    col_invariant = all_have & in_plane.all(axis=0) & \
-        (src_q == src_q[0:1, :]).all(axis=0)
+    any_have = has.any(axis=0)
+    # reference src column = the first mirror-carrying plane's source
+    first_k = np.argmax(has, axis=0)
+    ref_q = src_q[first_k, np.arange(XS)]
+    in_plane_ok = ((src_k == own_k) | ~has).all(axis=0)
+    same_q_ok = ((src_q == ref_q[None, :]) | ~has).all(axis=0)
+    dead_ok = (has | (nt == OUTSIDE)).all(axis=0)
+    col_invariant = any_have & in_plane_ok & same_q_ok & dead_ok
 
     dst_cols = np.flatnonzero(col_invariant).astype(np.int32)
-    src_cols = src_q[0, dst_cols].astype(np.int32)
+    src_cols = ref_q[dst_cols].astype(np.int32)
 
     fb_mask = has & ~col_invariant[None, :]
     fb_dst = np.flatnonzero(fb_mask.ravel()).astype(np.int32)
@@ -314,7 +333,7 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     if grid.dim == 3:
         # 3D: z-invariant cross-section tables + flat fallback (see Kit)
         wm_src, wm_dst, wm_fb_src, wm_fb_dst = _mirror_tables_3d(
-            shape, grid.mirror_idx)
+            shape, grid.mirror_idx, nt)
         XS = shape[1] * shape[2]
         P = wm_dst.size
         wm_G = np.zeros((XS, max(P, 1)), np.float32)

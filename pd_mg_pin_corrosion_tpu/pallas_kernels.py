@@ -79,6 +79,10 @@ def _on_tpu() -> bool:
 def pallas_applicable(kit: Kit) -> bool:
     if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
         return False
+    if kit.multi_device:
+        # pl.pallas_call has no SPMD partitioning rule: a sharded input
+        # would be replicated/all-gathered per call (or fail to lower)
+        return False
     if kit.mext > _PR:
         return False
     ny, nx, nyb, nxr, rows, cols = _geometry(kit)
@@ -274,6 +278,8 @@ def _geometry_3d(kit: Kit):
 def pallas_applicable_3d(kit: Kit) -> bool:
     if not HAVE_PALLAS or not _on_tpu() or kit.dim != 3 or kit.jdtype != jnp.float32:
         return False
+    if kit.multi_device:
+        return False  # no SPMD rule for pallas_call (see pallas_applicable)
     if kit.mext > _PRZ:
         return False
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
@@ -482,6 +488,8 @@ def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
 def matvec_applicable(kit: Kit) -> bool:
     if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
         return False
+    if kit.multi_device:
+        return False  # no SPMD rule for pallas_call (see pallas_applicable)
     if kit.mext > _PR:
         return False
     ny, nx, nyb, nxr, rows, cols = _geometry(kit)
@@ -561,6 +569,8 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
 def ard_applicable(kit: Kit) -> bool:
     if not HAVE_PALLAS or not _on_tpu() or kit.dim != 2 or kit.jdtype != jnp.float32:
         return False
+    if kit.multi_device:
+        return False  # no SPMD rule for pallas_call (see pallas_applicable)
     if kit.mext > _PR:
         return False
     ny, nx, nyb, nxr, rows, cols = _geometry(kit)

@@ -79,6 +79,7 @@ def shard_kit(kit, mesh: Mesh):
 
     return dataclasses.replace(
         kit,
+        multi_device=True,  # static: routes dispatch off single-device kernels
         inlet_mask=put(kit.inlet_mask, P(AXIS, None)),
         outlet_mask=put(kit.outlet_mask, P(AXIS, None)),
         wall_mask=put(kit.wall_mask, P(AXIS, None)),

@@ -166,12 +166,18 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False,
     dt0 = jax.jit(ops.compute_dt_ns)(state, kit)
 
     # gather-based (unstructured/AMR) iterations are ~10x costlier than
-    # stencil-shift ones; keep device executions equally short
-    seg_iters = FLOW_SEGMENT_ITERS if is_structured(kit) else FLOW_SEGMENT_ITERS // 8
+    # stencil-shift ones; keep device executions equally short. The block-
+    # structured AMR backend runs at stencil-shift speed -> full segments.
+    from .dispatch import is_block
+    seg_iters = (FLOW_SEGMENT_ITERS if is_structured(kit) or is_block(kit)
+                 else FLOW_SEGMENT_ITERS // 8)
 
     import os
     import time as _time
-    trace = bool(os.environ.get("PD_TPU_FLOW_TRACE")) or cfg.dim == 3
+    # PD_TPU_FLOW_TRACE / verbose only: the trace path forces a device sync
+    # per segment (int(it) transfer) and unconditional stdout, which is
+    # pure overhead in production runs (round-2 ADVICE, low)
+    trace = bool(os.environ.get("PD_TPU_FLOW_TRACE")) or verbose
 
     carry = (state, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, kit.jdtype),
              dt0, jnp.asarray(False), jnp.asarray(False))

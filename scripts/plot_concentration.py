@@ -25,7 +25,6 @@ import sys
 import matplotlib
 
 matplotlib.use("Agg")
-import matplotlib.gridspec as gridspec
 import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.patches import Rectangle
@@ -36,14 +35,21 @@ from vtk_reader import read_vti  # noqa: E402
 FLUID, SOLID_MG, WALL, INLET, OUTLET, OUTSIDE = 0, 1, 2, 3, 4, 5
 
 plt.rcParams.update({
-    "font.size": 10,
-    "axes.labelsize": 10,
-    "axes.titlesize": 11,
+    "font.size": 9.5,
+    "axes.titlesize": 10,
+    "axes.titleweight": "semibold",
+    "axes.titlelocation": "left",
     "legend.fontsize": 8,
-    "xtick.direction": "in",
-    "ytick.direction": "in",
-    "lines.linewidth": 1.4,
+    "axes.spines.top": False,
+    "axes.spines.right": False,
+    "lines.linewidth": 1.5,
 })
+
+# colorblind-safe station palette (Okabe-Ito), own choice of line styles
+STATION_STYLE = [("#0072B2", "-."), ("#D55E00", (0, (5, 1.5))),
+                 ("#009E73", (0, (1, 1)))]
+PIN_FACE = "#d9c89e"      # pale brass fill for the undissolved pin footprint
+MASK_GRAY = "0.92"        # non-fluid cells in the plume map
 
 
 def snapshot_time(path):
@@ -120,23 +126,19 @@ def main():
     else:
         stations = [np.percentile(y, p) for p in (55, 70, 85)]
     stations = [s for s in stations if s < y.max()]
-    st_styles = [("C0", "-"), ("C1", "--"), ("C3", ":")]
 
-    fig = plt.figure(figsize=(11, 13))
-    outer = gridspec.GridSpec(2, 1, height_ratios=[1.55, 1.0], hspace=0.25,
-                              left=0.07, right=0.97, top=0.95, bottom=0.05)
-    gs_top = gridspec.GridSpecFromSubplotSpec(
-        1, 2, subplot_spec=outer[0], width_ratios=[1, 0.035], wspace=0.03)
-    ax2d = fig.add_subplot(gs_top[0, 0])
-    axcb = fig.add_subplot(gs_top[0, 1])
-    gs_bot = gridspec.GridSpecFromSubplotSpec(
-        1, 2, subplot_spec=outer[1], wspace=0.32)
-    axcl = fig.add_subplot(gs_bot[0, 0])
-    axpr = fig.add_subplot(gs_bot[0, 1])
+    # Layout: the r-z domain is tall and narrow, so the plume map sits on
+    # the LEFT spanning the full figure height, with the two line panels
+    # stacked on the RIGHT; constrained_layout handles the spacing.
+    fig = plt.figure(figsize=(9.5, 8.5), constrained_layout=True)
+    gs = fig.add_gridspec(2, 2, width_ratios=[0.9, 1.25])
+    ax2d = fig.add_subplot(gs[:, 0])
+    axcl = fig.add_subplot(gs[0, 1])
+    axpr = fig.add_subplot(gs[1, 1])
 
-    # ---- (a) 2D plume map ----
-    cmap = plt.cm.hot_r.copy()
-    cmap.set_bad("white")
+    # ---- a) plume map ----
+    cmap = plt.cm.magma.copy()
+    cmap.set_bad(MASK_GRAY)
     extent = [x.min() - hx, x.max() + hx,
               y.min() - 0.5 * (y[1] - y[0]), y.max() + 0.5 * (y[1] - y[0])]
     im = ax2d.imshow(C_show, origin="lower", extent=extent, cmap=cmap,
@@ -144,64 +146,64 @@ def main():
                      interpolation="nearest", rasterized=True)
     if box is not None:
         ax2d.add_patch(Rectangle((x0, y0), x1 - x0, y1 - y0,
-                                 facecolor="0.45", edgecolor="k",
-                                 linewidth=0.9, zorder=3, label="Mg pin"))
+                                 facecolor=PIN_FACE, edgecolor="#6b5a2e",
+                                 linewidth=1.2, hatch="////", zorder=4,
+                                 label="Mg pin"))
     wall_cols = np.where(np.any(nt == WALL, axis=0))[0]
     if wall_cols.size:
-        ax2d.axvline(x[wall_cols[0]] - hx, color="0.25", lw=0.7, ls="--",
-                     label="Tube wall")
-        ax2d.axvline(x[wall_cols[-1]] + hx, color="0.25", lw=0.7, ls="--")
-    for s, (col, ls) in zip(stations, st_styles):
-        ax2d.axhline(s, color=col, lw=0.8, ls=ls, alpha=0.75)
-    cb = fig.colorbar(im, cax=axcb)
-    cb.set_label("Dissolved Mg concentration, $C$")
-    ax2d.set_xlabel(r"Transverse position $x$ ($\mu$m)")
-    ax2d.set_ylabel(r"Axial position ($\mu$m)")
-    ax2d.set_title(f"Dissolved Mg concentration — "
-                   f"t = {snapshot_time(final_path):.1f} s",
-                   fontweight="bold", pad=10)
-    ax2d.legend(loc="upper left", framealpha=0.92, edgecolor="0.6")
-    ax2d.text(-0.04, 1.01, "(a)", transform=ax2d.transAxes, fontsize=12,
-              fontweight="bold", va="bottom")
+        for xw, lab in ((x[wall_cols[0]] - hx, "tube wall"),
+                        (x[wall_cols[-1]] + hx, None)):
+            ax2d.axvline(xw, color="k", lw=1.3, label=lab)
+    # station tick marks at the map edge instead of full cross-lines
+    for s, (col, ls) in zip(stations, STATION_STYLE):
+        ax2d.plot([extent[0], extent[0] + 0.12 * (extent[1] - extent[0])],
+                  [s, s], color=col, lw=2.5, solid_capstyle="butt", zorder=5)
+        ax2d.annotate("", xy=(extent[1], s),
+                      xytext=(extent[1] - 0.1 * (extent[1] - extent[0]), s),
+                      arrowprops=dict(arrowstyle="-", color=col, lw=2.5))
+    cb = fig.colorbar(im, ax=ax2d, location="bottom", shrink=0.9, pad=0.02)
+    cb.set_label("dissolved Mg concentration $C$ (–)")
+    ax2d.set_xlabel(r"$x$ [$\mu$m]")
+    ax2d.set_ylabel(r"axial [$\mu$m]")
+    ax2d.set_title(f"a)  plume, t = {snapshot_time(final_path):.0f} s")
+    ax2d.legend(loc="lower right")
 
-    # ---- (b) centerline evolution ----
+    # ---- b) centerline histories ----
     ic = int(np.argmin(np.abs(x)))
-    colors = plt.cm.viridis(np.linspace(0.12, 0.92, len(cl_idx)))
-    for color, i in zip(colors, cl_idx):
+    t_colors = plt.cm.cividis_r(np.linspace(0.0, 0.8, len(cl_idx)))
+    for color, i in zip(t_colors, cl_idx):
         xs_i, ys_i, C_i, nt_i = load2d(files[i])
         line = np.where(nt_i[:, ic] == FLUID, C_i[:, ic], np.nan)
         axcl.plot(ys_i, line, color=color,
-                  label=f"t = {times[i]:.1f} s")
+                  label=f"{times[i] / 60.0:.1f} min")
     if box is not None:
-        axcl.axvspan(y0, y1, color="0.88", zorder=0, label="Mg pin")
-    axcl.set_xlabel(r"Axial position ($\mu$m)")
-    axcl.set_ylabel(r"Centerline concentration $C$")
-    axcl.set_title("Centerline concentration evolution", fontweight="bold")
-    axcl.legend(loc="best", framealpha=0.92, edgecolor="0.6")
+        axcl.axvspan(y0, y1, facecolor=PIN_FACE, alpha=0.55, zorder=0,
+                     label="pin extent")
+    axcl.set_xlabel(r"axial [$\mu$m]")
+    axcl.set_ylabel("$C$ on the axis (–)")
+    axcl.set_title("b)  centerline history")
+    axcl.legend(ncols=2, columnspacing=1.0)
     axcl.set_ylim(bottom=0)
-    axcl.grid(True, ls=":", alpha=0.45)
-    axcl.text(-0.02, 1.02, "(b)", transform=axcl.transAxes, fontsize=12,
-              fontweight="bold", va="bottom")
+    axcl.grid(alpha=0.15)
 
-    # ---- (c) transverse profiles ----
-    for s, (col, ls) in zip(stations, st_styles):
+    # ---- c) transverse cuts ----
+    for s, (col, ls) in zip(stations, STATION_STYLE):
         iy = int(np.argmin(np.abs(y - s)))
         prof = np.where(nt[iy, :] == FLUID, C_fin[iy, :], np.nan)
-        axpr.plot(x, prof, color=col, ls=ls, lw=1.6,
-                  label=rf"axial = {y[iy]:.0f} $\mu$m")
+        axpr.plot(x, prof, color=col, ls=ls, lw=1.8,
+                  label=rf"y = {y[iy]:.0f} $\mu$m")
     if box is not None:
-        axpr.axvspan(x0, x1, color="0.85", zorder=0, label="Mg pin")
-    axpr.set_xlabel(r"Transverse position $x$ ($\mu$m)")
-    axpr.set_ylabel("Concentration $C$")
-    axpr.set_title("Transverse profiles downstream of pin", fontweight="bold")
-    axpr.legend(loc="best", framealpha=0.92, edgecolor="0.6")
+        axpr.axvspan(x0, x1, facecolor=PIN_FACE, alpha=0.55, zorder=0,
+                     label="pin extent")
+    axpr.set_xlabel(r"$x$ [$\mu$m]")
+    axpr.set_ylabel("$C$ across the tube (–)")
+    axpr.set_title("c)  transverse cuts at the marked stations")
+    axpr.legend()
     axpr.set_ylim(bottom=0)
-    axpr.grid(True, ls=":", alpha=0.45)
-    axpr.text(-0.02, 1.02, "(c)", transform=axpr.transAxes, fontsize=12,
-              fontweight="bold", va="bottom")
+    axpr.grid(alpha=0.15)
 
     out = os.path.join(outdir, "concentration_transport.png")
-    fig.savefig(out, dpi=200, bbox_inches="tight")
+    fig.savefig(out, dpi=200)
     plt.close(fig)
     print(f"Wrote {out}")
 

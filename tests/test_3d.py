@@ -100,6 +100,55 @@ def test_3d_wall_mirror_matches_gather_oracle():
     assert kit.wm_fb_dst.size < 0.2 * (kit.wm_dst_cols.size * grid.Nz + 1)
 
 
+def test_3d_wall_mirror_padded_grid_oracle():
+    """Same oracle on an axially PADDED grid (pad_grid_axial, the
+    multi-device layout): the padded OUTSIDE z-planes must not demote wall
+    columns out of the mirror tables (round-2 ADVICE, high: the previous
+    all-planes invariance check routed every wall node to the never-applied
+    fallback list, silently disabling the 3D wall BC exactly in the
+    multi-chip configuration). OUTSIDE nodes are excluded from the
+    comparison — nothing ever reads them."""
+    from pd_mg_pin_corrosion_tpu.grid import OUTSIDE, pad_grid_axial
+
+    cfg = cfg3d()
+    grid = pad_grid_axial(build_grid(cfg), 8)
+    kit = build_kit(grid, cfg)
+
+    # the padded grid must keep a real primary-column mirror table
+    assert kit.wm_dst_cols.size > 0, \
+        "padded grid produced zero primary mirror columns"
+    # and any fallback nodes there are will actually be applied (the 3D
+    # branch now consumes wm_fb_*), so no silent no-op either way
+
+    rng = np.random.default_rng(1)
+    rho = jnp.asarray(rng.uniform(900.0, 1100.0, grid.shape))
+    vel = jnp.asarray(rng.normal(size=grid.shape + (3,)))
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+
+    rho_m, vel_m = bc._wall_mirror(state, kit, rho, vel)
+
+    mi = grid.mirror_idx.ravel()
+    nt = grid.node_type.ravel()
+    rho_o = np.asarray(rho).ravel().copy()
+    vel_o = np.asarray(vel).reshape(-1, 3).copy()
+    has = mi >= 0
+    rho_o[has] = np.asarray(rho).ravel()[mi[has]]
+    vel_o[has] = -np.asarray(vel).reshape(-1, 3)[mi[has]]
+    none = (nt == 2) & ~has
+    rho_o[none] = cfg.rho_f
+    vel_o[none] = 0.0
+
+    live = nt != OUTSIDE
+    np.testing.assert_array_equal(np.asarray(rho_m).ravel()[live], rho_o[live])
+    np.testing.assert_array_equal(
+        np.asarray(vel_m).reshape(-1, 3)[live], vel_o[live])
+    # every wall node with a mirror actually changed (BC is not a no-op)
+    wall_has = (nt == 2) & has
+    assert wall_has.any()
+    assert not np.allclose(np.asarray(rho_m).ravel()[wall_has],
+                           np.asarray(rho).ravel()[wall_has])
+
+
 def test_3d_flow_bounded():
     """Short 3D flow run stays bounded with eta_density=1.0."""
     cfg = cfg3d()

