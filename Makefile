@@ -1,7 +1,7 @@
 # Convenience targets. NOTE: on the axon TPU image, run CPU-only python with
 # PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu to avoid contending with a TPU job.
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench validate3d native clean
 
 test:
 	python -m pytest tests/ -q
@@ -10,7 +10,19 @@ test-fast:
 	python -m pytest tests/test_config.py tests/test_grid.py tests/test_grains.py \
 	  tests/test_io.py tests/test_native.py tests/test_gmres.py -q
 
-bench:
+# TPU-vs-CPU acceptance sweep of every 3D device op at production size —
+# catches Mosaic/XLA miscompiles (e.g. the 178-slot unrolled-graph NaNs)
+# before they can poison a long run. Phase 1 on the TPU, phase 2 on CPU.
+validate3d:
+	python scripts/validate_3d_tpu.py save
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/validate_3d_tpu.py check
+
+# bench runs the 3D op acceptance sweep first (a regression there would
+# invalidate any benchmark number), then the timed benchmark
+bench: validate3d
+	python bench.py
+
+bench-only:
 	python bench.py
 
 native:

@@ -15,7 +15,35 @@ def is_structured(kit) -> bool:
     return isinstance(kit, Kit)
 
 
+def is_block(kit) -> bool:
+    """Block-structured AMR kit (amr_blocks.BKit) — stencil-shift speed."""
+    from .amr_blocks import BKit
+    return isinstance(kit, BKit)
+
+
 def ops_for(kit) -> SimpleNamespace:
+    if is_block(kit):
+        from . import amr_blocks as b
+
+        return SimpleNamespace(
+            ns_step=b.ns_step,
+            compute_dt_ns=b.compute_dt_ns,
+            tait_pressure=b.tait_pressure,
+            apply_inlet_bc=b.apply_inlet_bc,
+            apply_outlet_bc=b.apply_outlet_bc,
+            apply_wall_bc=b.apply_wall_bc,
+            apply_wall_concentration_bc=b.apply_wall_concentration_bc,
+            apply_solid_surface_bc=b.apply_solid_surface_bc,
+            smooth_boundary_concentration=b.smooth_boundary_concentration,
+            update_fictitious=b.update_fictitious,
+            ard_step=b.ard_step,
+            ard_compute_dt=b.ard_compute_dt,
+            apply_phase_change=b.apply_phase_change,
+            assemble=b.assemble,
+            implicit_step=b.implicit_step,
+            compute_adaptive_dt=b.compute_adaptive_dt,
+        )
+
     if is_structured(kit):
         from . import boundary as bc
         from .ops import ard as ard
