@@ -238,7 +238,12 @@ def _wall_mirror(state: State, kit: Kit, rho, vel):
 
         A = jnp.concatenate(
             [r2] + [v2[..., d] for d in range(kit.dim)], axis=0)
-        mirrored = (A @ kit.wm_G) @ kit.wm_S          # [ (1+dim)*Nz, XS ]
+        # HIGHEST precision: the MXU's default bf16-pass f32 matmul rounds
+        # the selected values (~5e-4 rel, caught by validate_3d_tpu.py);
+        # a one-hot selection must be exact
+        hp = jax.lax.Precision.HIGHEST
+        mirrored = jnp.matmul(jnp.matmul(A, kit.wm_G, precision=hp),
+                              kit.wm_S, precision=hp)  # [ (1+dim)*Nz, XS ]
 
         keep = 1.0 - kit.wm_colmask
         r_out = base_r * keep + mirrored[:Nz]

@@ -152,6 +152,13 @@ class Config:
     # Lower clamp of the adaptive implicit dt as a fraction of
     # implicit_dt_max (reference: 0.01, pd_ard_implicit.cpp:486).
     implicit_dt_min_frac: float = 0.01
+    # Sub-cell 3D wall mirror: bilinear interpolation of the reflected
+    # point instead of the reference's nearest-node (staircase) mirror
+    # (boundary.cpp:204-249). The staircase mirror's O(dx) wall error
+    # sustains a per-step velocity limit cycle (~6e-4 at 1M nodes) that
+    # keeps 3D flow from converging by tolerance; the weighted mirror
+    # removes the leading-order error. 0 = reference behavior.
+    wall_mirror_subcell: int = 0
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -185,7 +192,7 @@ class Config:
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
             "flow_output_stride", "flow_max_iters_resolve",
-            "dissolution_batch",
+            "dissolution_batch", "wall_mirror_subcell",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

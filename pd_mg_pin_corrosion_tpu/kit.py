@@ -309,6 +309,74 @@ def _mirror_tables_3d(shape, mirror_idx: np.ndarray, node_type: np.ndarray):
     return src_cols, dst_cols, fb_src, fb_dst
 
 
+def _subcell_G_3d(cfg: Config, grid, dst_cols: np.ndarray, XS: int) -> np.ndarray:
+    """Weighted cross-section mirror operator for the sub-cell wall mirror
+    (cfg.wall_mirror_subcell): column p of G holds the BILINEAR weights of
+    the reflected point 2*R_tube - r on the surrounding lattice nodes,
+    instead of a one-hot at the nearest node. Same [XS, P] shape and MXU
+    application as the staircase operator; weights are z-invariant
+    (geometry only). Corners outside the accepted set (WALL/OUTSIDE) are
+    dropped and the rest renormalized; a column with no accepted corner
+    falls back to one-hot at the staircase source via the caller's tables
+    — in practice r_m < R_tube keeps >= 1 corner in-tube."""
+    Ny, Nx = grid.shape[1], grid.shape[2]
+    dx = grid.dx
+    ox, oy = grid.origin[0], grid.origin[1]
+    # representative z-plane for accepted-type lookup: the one with the
+    # most in-tube (accepted) nodes — robust against axially padded grids
+    accepted_types = (FLUID, INLET, OUTLET, SOLID_MG)
+    acc3 = np.isin(grid.node_type, accepted_types)
+    k_rep = int(np.argmax(acc3.reshape(grid.shape[0], -1).sum(axis=1)))
+    acc = acc3[k_rep].ravel()
+
+    P = dst_cols.size
+    G = np.zeros((XS, max(P, 1)), np.float32)
+    for p, q in enumerate(dst_cols):
+        j, i = divmod(int(q), Nx)
+        x = ox + i * dx
+        y = oy + j * dx
+        r = math.sqrt(x * x + y * y)
+        r_m = 2.0 * cfg.R_tube - r
+        xm = x * r_m / r
+        ym = y * r_m / r
+        fi = (xm - ox) / dx
+        fj = (ym - oy) / dx
+        i0 = int(math.floor(fi))
+        j0 = int(math.floor(fj))
+        tx = fi - i0
+        ty = fj - j0
+        w = {(j0, i0): (1 - tx) * (1 - ty), (j0, i0 + 1): tx * (1 - ty),
+             (j0 + 1, i0): (1 - tx) * ty, (j0 + 1, i0 + 1): tx * ty}
+        tot = 0.0
+        ent = []
+        for (jj, ii), ww in w.items():
+            if ww <= 0.0 or not (0 <= jj < Ny and 0 <= ii < Nx):
+                continue
+            col = jj * Nx + ii
+            if not acc[col]:
+                continue
+            ent.append((col, ww))
+            tot += ww
+        if tot <= 0.0:
+            # degenerate: keep the staircase one-hot source for this column
+            # (nearest accepted node in-plane, as in _build_mirror_table)
+            best, best_d = -1, np.inf
+            for jj in range(max(0, j0 - 1), min(Ny, j0 + 3)):
+                for ii in range(max(0, i0 - 1), min(Nx, i0 + 3)):
+                    col = jj * Nx + ii
+                    if not acc[col]:
+                        continue
+                    d = (jj - fj) ** 2 + (ii - fi) ** 2
+                    if d < best_d:
+                        best_d, best = d, col
+            if best >= 0:
+                G[best, p] = 1.0
+            continue
+        for col, ww in ent:
+            G[col, p] = ww / tot
+    return G
+
+
 def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     if dtype is None:
         dtype = "float64" if cfg.precision == "f64" else "float32"
@@ -336,9 +404,12 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
             shape, grid.mirror_idx, nt)
         XS = shape[1] * shape[2]
         P = wm_dst.size
-        wm_G = np.zeros((XS, max(P, 1)), np.float32)
+        if cfg.wall_mirror_subcell:
+            wm_G = _subcell_G_3d(cfg, grid, wm_dst, XS)
+        else:
+            wm_G = np.zeros((XS, max(P, 1)), np.float32)
+            wm_G[wm_src, np.arange(P)] = 1.0
         wm_S = np.zeros((max(P, 1), XS), np.float32)
-        wm_G[wm_src, np.arange(P)] = 1.0
         wm_S[np.arange(P), wm_dst] = 1.0
         wm_colmask = np.zeros((XS,), np.float32)
         wm_colmask[wm_dst] = 1.0

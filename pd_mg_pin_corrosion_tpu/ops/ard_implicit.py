@@ -43,6 +43,11 @@ class ImplicitOperator:
     W: jax.Array        # [S, *shape] off-diagonal stencil weights (C_j coeffs)
     diag: jax.Array     # [*shape] diagonal of M
     unknown: jax.Array  # [*shape] bool — FLUID | SOLID rows
+    # 3D TPU fast path: W in the flattened-cross-section lane layout
+    # ([S_pad, nzb, Fr], see pallas_kernels._geometry_3d), precomputed ONCE
+    # per assemble so the per-matvec cost is one streamed pass over the
+    # weights. None when the Pallas 3D matvec is not applicable.
+    Wf: jax.Array | None = None
 
 
 def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperator:
@@ -141,7 +146,13 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
             Ws.append(w)
         W = jnp.stack(Ws)
 
-    return ImplicitOperator(W=W, diag=diag, unknown=unknown)
+    # 3D TPU fast path: pre-flatten the weight stack for the streamed
+    # Pallas matvec, once per cycle (per-matvec flattening of ~750MB would
+    # dominate the matvec itself)
+    from ..pallas_kernels import flatten_W_3d, matvec3d_applicable
+    Wf = flatten_W_3d(W, kit) if matvec3d_applicable(kit) else None
+
+    return ImplicitOperator(W=W, diag=diag, unknown=unknown, Wf=Wf)
 
 
 def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
@@ -150,9 +161,12 @@ def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
     Dispatches to the fused Pallas stencil-matvec on 2D f32 TPU grids
     (pallas_kernels.matvec_M_pallas) — this is GMRES's hot op, applied
     50-200x per implicit transport step."""
-    from ..pallas_kernels import matvec_applicable, matvec_M_pallas
+    from ..pallas_kernels import (matvec3d_applicable, matvec_applicable,
+                                  matvec_M_pallas, matvec_M_pallas_3d)
     if matvec_applicable(kit):
         return matvec_M_pallas(op, kit, x)
+    if op.Wf is not None and matvec3d_applicable(kit):
+        return matvec_M_pallas_3d(op, kit, x)
 
     x_p = kit.pad(x, 0.0)
     y = op.diag * x

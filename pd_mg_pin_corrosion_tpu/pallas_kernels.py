@@ -555,6 +555,152 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Fused 3D stencil matvec (DMA-windowed, W streamed per slot-chunk)
+# ---------------------------------------------------------------------------
+#
+# The 3D implicit step is GMRES-matvec dominated (~178 slots at 1M+ nodes;
+# round-2 measured 2-3 s/step). The matvec y = diag*x + sum_s W_s*shift_s(x)
+# is pure memory traffic: W is ~750MB at 1M nodes and must stream through
+# once per matvec; x (+halo) is small. Kernel layout mirrors the 3D NS
+# kernel (flattened cross-section; lane rolls for in-plane offsets, sublane
+# slices for dk), with the weight stack DMA'd from HBM in double-buffered
+# slot chunks so compute overlaps the streaming. The weight stack is
+# pre-flattened ONCE per assemble (ImplicitOperator.Wf) — per-matvec
+# flattening would dwarf the matvec itself.
+
+_CHUNK_MV3 = 30   # slots per streamed W chunk (S=178 -> 6 chunks at pad 180)
+
+
+def matvec3d_applicable(kit: Kit) -> bool:
+    if not HAVE_PALLAS or not _on_tpu() or kit.dim != 3 or kit.jdtype != jnp.float32:
+        return False
+    if kit.multi_device:
+        return False  # no SPMD rule for pallas_call (see pallas_applicable)
+    if kit.mext > _PRZ:
+        return False
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    if nz * ny * nx < 100_000:
+        return False
+    win = _BZ + 2 * _PRZ
+    need = (win * cols                      # x window
+            + 2 * _CHUNK_MV3 * _BZ * Fr     # double-buffered W chunks
+            + 4 * _BZ * Fr) * 4             # diag/unk/y blocks + temporaries
+    return need <= _VMEM_BUDGET
+
+
+def _n_chunks_mv3(kit: Kit) -> int:
+    return -(-kit.S // _CHUNK_MV3)
+
+
+def _matvec_kernel_3d(kit: Kit, Fr: int, pcf: int,
+                      x_ref, W_ref, diag_ref, unk_ref, y_out,
+                      x_s, w_s0, w_s1, sems):
+    nxp = kit.shape[2] + 2 * kit.mext
+    S = kit.S
+    n_chunks = _n_chunks_mv3(kit)
+    i = pl.program_id(0)
+    row0 = i * np.int32(_BZ)
+    win = _BZ + 2 * _PRZ
+
+    dma_x = pltpu.make_async_copy(x_ref.at[pl.ds(row0, win), :], x_s,
+                                  sems.at[0])
+    dma_x.start()
+
+    w_bufs = [w_s0, w_s1]
+
+    def w_dma(c):
+        return pltpu.make_async_copy(
+            W_ref.at[pl.ds(np.int32(c * _CHUNK_MV3), _CHUNK_MV3),
+                     pl.ds(row0, _BZ), :],
+            w_bufs[c % 2], sems.at[1 + (c % 2)])
+
+    d0 = w_dma(0)
+    d0.start()
+    dma_x.wait()
+
+    acc = diag_ref[...] * x_s[_PRZ:_PRZ + _BZ, pcf:pcf + Fr]
+
+    pending = d0
+    for c in range(n_chunks):
+        pending.wait()
+        if c + 1 < n_chunks:
+            pending = w_dma(c + 1)
+            pending.start()
+        wb = w_bufs[c % 2]
+        for k in range(_CHUNK_MV3):
+            s = c * _CHUNK_MV3 + k
+            if s >= S:
+                break
+            dk, dj, di = kit.offsets[s]
+            f = dj * nxp + di
+            slab = x_s[_PRZ + dk:_PRZ + dk + _BZ, :]
+            if f:
+                slab = pltpu.roll(slab, np.int32((-f) % slab.shape[1]), 1)
+            acc += wb[k] * slab[:, pcf:pcf + Fr]
+
+    y_out[...] = jnp.where(unk_ref[...], acc, 0.0)
+
+
+def flatten_W_3d(W: jax.Array, kit: Kit) -> jax.Array:
+    """[S, Nz, Ny, Nx] -> [S_pad, nzb, Fr] center-value lane layout (margin
+    lanes zero), padded to a whole number of streamed chunks."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    S = kit.S
+    S_pad = _n_chunks_mv3(kit) * _CHUNK_MV3
+    Wp = jnp.pad(W.astype(jnp.float32),
+                 ((0, S_pad - S), (0, 0), (0, 0), (mx, mx)))
+    Wp = Wp.reshape(S_pad, nz, ny * nxp)
+    return jnp.pad(Wp, ((0, 0), (0, nzb - nz), (0, Fr - ny * nxp)))
+
+
+@jax.jit
+def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
+    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 3D f32).
+    Requires op.Wf (assemble pre-flattens it when applicable)."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+
+    x_p = _flatten_3d(x.astype(jnp.float32), kit, nzb, Fr, pcf)
+
+    def flat_center(a, fill):
+        a = jnp.pad(a, ((0, 0), (0, 0), (mx, mx)), constant_values=fill)
+        a = a.reshape(nz, ny * nxp)
+        return jnp.pad(a, ((0, nzb - nz), (0, Fr - ny * nxp)),
+                       constant_values=fill)
+
+    diag = flat_center(op.diag.astype(jnp.float32), 0.0)
+    unk = flat_center(op.unknown, False)
+
+    win = _BZ + 2 * _PRZ
+    with jax.enable_x64(False):  # see ns_step_pallas
+        y = pl.pallas_call(
+            functools.partial(_matvec_kernel_3d, kit, Fr, pcf),
+            grid=(nzb // _BZ,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x (HBM, windowed)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # Wf (HBM, streamed)
+                pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),  # diag
+                pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),  # unknown
+            ],
+            out_specs=pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nzb, Fr), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((win, cols), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ, Fr), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ, Fr), jnp.float32),
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(x_p, op.Wf, diag, unk)
+
+    return y[:nz, :ny * nxp].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
+
+
+# ---------------------------------------------------------------------------
 # Fused explicit-ARD bond kernel (2D structured)
 # ---------------------------------------------------------------------------
 #

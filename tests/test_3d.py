@@ -149,6 +149,50 @@ def test_3d_wall_mirror_padded_grid_oracle():
                            np.asarray(rho).ravel()[wall_has])
 
 
+def test_3d_subcell_mirror_oracle():
+    """wall_mirror_subcell=1: wall values = bilinear interpolation of the
+    reflected point (rho symmetric, vel antisymmetric), verified against a
+    direct numpy oracle on the primary columns."""
+    cfg = cfg3d()
+    cfg.wall_mirror_subcell = 1
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+
+    # every primary column's weights sum to 1 and are non-negative
+    G = np.asarray(kit.wm_G)
+    P = int(kit.wm_dst_cols.size)
+    sums = G[:, :P].sum(axis=0)
+    assert np.all(sums > 0.999) and np.all(sums < 1.001)
+    assert np.all(G >= 0)
+    # most columns are genuinely interpolated (not one-hot)
+    n_weighted = int(((G[:, :P] > 0).sum(axis=0) > 1).sum())
+    assert n_weighted > 0.5 * P
+
+    rng = np.random.default_rng(2)
+    rho = jnp.asarray(rng.uniform(900.0, 1100.0, grid.shape))
+    vel = jnp.asarray(rng.normal(size=grid.shape + (3,)))
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+    rho_m, vel_m = bc._wall_mirror(state, kit, rho, vel)
+
+    # oracle on a few random primary columns at a few z-planes
+    Nz, Ny, Nx = grid.shape
+    dst = np.asarray(kit.wm_dst_cols)
+    r2 = np.asarray(rho).reshape(Nz, Ny * Nx)
+    v2 = np.asarray(vel).reshape(Nz, Ny * Nx, 3)
+    for p in rng.choice(P, size=min(40, P), replace=False):
+        q = int(dst[p])
+        w = G[:, p]
+        nz_cols = np.flatnonzero(w)
+        for k in (0, Nz // 2, Nz - 1):
+            exp_rho = (r2[k, nz_cols] * w[nz_cols]).sum()
+            exp_vel = -(v2[k, nz_cols] * w[nz_cols, None]).sum(0)
+            got_rho = np.asarray(rho_m).reshape(Nz, Ny * Nx)[k, q]
+            got_vel = np.asarray(vel_m).reshape(Nz, Ny * Nx, 3)[k, q]
+            np.testing.assert_allclose(got_rho, exp_rho, rtol=1e-12)
+            np.testing.assert_allclose(got_vel, exp_vel, rtol=1e-12,
+                                       atol=1e-12)
+
+
 def test_3d_flow_bounded():
     """Short 3D flow run stays bounded with eta_density=1.0."""
     cfg = cfg3d()

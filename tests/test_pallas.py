@@ -65,3 +65,31 @@ def test_pallas_3d_matches_xla():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_pallas_3d_matvec_matches_xla():
+    """Streamed-weights 3D stencil matvec (GMRES hot op) at production size."""
+    from dataclasses import replace as _rep
+
+    from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+
+    cfg = Config.load("config/params_3d.cfg")
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert pk.matvec3d_applicable(kit)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+    rng = np.random.default_rng(3)
+    state = _rep(state, C=jnp.asarray(
+        np.where(np.asarray(state.node_type) == 1, 1.0,
+                 0.2 * rng.random(kit.shape)), jnp.float32))
+
+    op = jax.jit(lambda s: ai.assemble(s, kit))(state)
+    assert op.Wf is not None  # assemble pre-flattened for the kernel
+    x = jnp.asarray(rng.random(kit.shape), jnp.float32)
+    ref = np.asarray(jax.jit(lambda o, v: ai.matvec_M(
+        ai.ImplicitOperator(W=o.W, diag=o.diag, unknown=o.unknown),
+        kit, v))(op, x))
+    out = np.asarray(pk.matvec_M_pallas_3d(op, kit, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)

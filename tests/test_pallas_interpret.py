@@ -79,6 +79,52 @@ def test_pallas_3d_interpret_matches_xla():
 
 
 @pytest.mark.slow
+def test_matvec3d_interpret_matches_xla():
+    """3D streamed-weights stencil matvec (GMRES hot op) vs the XLA
+    scan-over-stencil matvec."""
+    from dataclasses import replace as _rep
+
+    from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+
+    cfg = Config()
+    cfg.dim = 3
+    cfg.dx = 8e-6
+    cfg.R_wire = 16e-6
+    cfg.L_wire = 64e-6
+    cfg.R_tube = 48e-6
+    cfg.L_upstream = 32e-6
+    cfg.L_downstream = 32e-6
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    state = _rep(state, C=jnp.asarray(
+        np.where(np.asarray(state.node_type) == 1, 1.0,
+                 0.3 * rng.random(kit.shape)), jnp.float32))
+
+    op = jax.jit(lambda s: ai.assemble(s, kit))(state)
+    ref = np.asarray(jax.jit(lambda o, x: ai.matvec_M(o, kit, x))(op, state.C))
+
+    op = ai.ImplicitOperator(W=op.W, diag=op.diag, unknown=op.unknown,
+                             Wf=pk.flatten_W_3d(op.W, kit))
+    x = jnp.asarray(rng.random(kit.shape), jnp.float32)
+    # compare on the same input
+    ref = np.asarray(jax.jit(lambda o, v: ai.matvec_M(
+        ai.ImplicitOperator(W=o.W, diag=o.diag, unknown=o.unknown),
+        kit, v))(op, x))
+    pk.INTERPRET = True
+    try:
+        out = np.asarray(pk.matvec_M_pallas_3d(op, kit, x))
+    finally:
+        pk.INTERPRET = False
+    # f32 contraction-order roundoff only (the solve's accuracy comes from
+    # the f64-residual refinement, not the raw f32 operator)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_ard_kernel_interpret_matches_xla():
     from dataclasses import replace as _rep
 
