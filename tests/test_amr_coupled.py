@@ -64,3 +64,58 @@ def test_amr_coupled_run(tmp_path):
     with open(f"{cfg.output_dir}/diagnostics.csv") as f:
         rows = f.readlines()
     assert len(rows) > 1
+
+
+def test_amr_coupled_run_block_backend(tmp_path):
+    """Same end-to-end coupled corrosion through the BLOCK-structured AMR
+    backend (amr_blocks) — the production default (amr_backend=structured):
+    dissolution progresses, VTU/PVD written, diagnostics logged."""
+    from pd_mg_pin_corrosion_tpu import amr_blocks as ab
+
+    cfg = Config()
+    cfg.dx = 5.0e-6
+    cfg.use_amr = 1
+    cfg.amr_ratio = 2
+    cfg.amr_buffer = 30.0e-6
+    cfg.R_wire = 20.0e-6
+    cfg.L_wire = 80.0e-6
+    cfg.R_tube = 100.0e-6
+    cfg.L_upstream = 80.0e-6
+    cfg.L_downstream = 80.0e-6
+    cfg.c0 = 0.5
+    cfg.cfl_factor = 0.25
+    cfg.flow_conv_tol = 1.0e-4
+    cfg.flow_max_iters = 3000
+    cfg.D_grain = 5.0e-11
+    cfg.D_gb = 5.0e-9
+    cfg.gb_width_cells = 1
+    cfg.T_final = 5.0
+    cfg.corrosion_steps_per_check = 10
+    cfg.use_implicit = 1
+    cfg.implicit_output_every = 10**9
+    cfg.diagnostic_every = 1
+    cfg.output_dir = str(tmp_path / "out_blk")
+    cfg.precision = "f64"
+    cfg.compute_derived()
+
+    grid = ab.build_amr_block_grid(cfg)
+    assert int((grid.node_type == 1).sum()) > 0  # SOLID present
+    assert int((grid.node_type == 6).sum()) > 0  # FICTITIOUS present
+
+    g = ab.generate_grains_b(grid, cfg)
+    kit = ab.build_bkit(grid, cfg)
+    state = ab.initialize_state_b(grid, cfg, grains=g, dtype=kit.jdtype)
+
+    solver = CoupledSolver()
+    final = solver.run(grid, state, kit, cfg)
+
+    assert solver.total_dissolved > 0
+    assert np.isfinite(np.asarray(final.C)).all()
+    assert np.isfinite(np.asarray(final.vel)).all()
+
+    files = os.listdir(cfg.output_dir)
+    assert any(f.endswith(".vtu") for f in files)
+    assert "simulation.pvd" in files
+    with open(f"{cfg.output_dir}/diagnostics.csv") as f:
+        rows = f.readlines()
+    assert len(rows) > 1
