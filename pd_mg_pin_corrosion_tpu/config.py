@@ -159,6 +159,12 @@ class Config:
     # keeps 3D flow from converging by tolerance; the weighted mirror
     # removes the leading-order error. 0 = reference behavior.
     wall_mirror_subcell: int = 0
+    # VTI snapshot encoding: 0 = ASCII (byte-compatible with the
+    # reference's vtk_writer.cpp), 1 = VTK XML appended-raw binary (~6x
+    # smaller, ~50x faster serialization; a 1M-node ASCII VTI is ~130MB
+    # and minutes of host formatting). Both load in ParaView and in
+    # scripts/vtk_reader.py.
+    vtk_binary: int = 0
 
     # Derived (computed by compute_derived)
     delta: float = field(default=0.0)
@@ -192,7 +198,7 @@ class Config:
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
             "flow_output_stride", "flow_max_iters_resolve",
-            "dissolution_batch", "wall_mirror_subcell",
+            "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

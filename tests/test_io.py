@@ -92,3 +92,36 @@ def test_pvd_crash_safe(tmp_path):
         assert len(entries) == i + 1
         # relative paths
         assert all("/" not in e.get("file") for e in entries)
+
+
+def test_vti_binary_roundtrip(tmp_path):
+    """cfg.vtk_binary=1 writes VTK XML appended-raw; every array round-trips
+    bit-exactly against the ASCII writer's values through vtk_reader."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from vtk_reader import read_vti
+
+    cfg = small_cfg()
+    grid = build_grid(cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+    w = VTKWriter()
+    p_ascii = str(tmp_path / "a.vti")
+    p_bin = str(tmp_path / "b.vti")
+    w.write(p_ascii, grid, state, cfg)
+    cfg.vtk_binary = 1
+    w.write(p_bin, grid, state, cfg)
+
+    meta_a, f_a = read_vti(p_ascii)
+    meta_b, f_b = read_vti(p_bin)
+    assert meta_a["nx"] == meta_b["nx"] and meta_a["ny"] == meta_b["ny"]
+    assert sorted(f_a) == sorted(f_b) == sorted(VTI_ARRAYS)
+    for name in VTI_ARRAYS:
+        # ASCII rounds at %.9g (~1e-9 relative); binary is exact
+        np.testing.assert_allclose(f_b[name], f_a[name], rtol=1e-8, atol=0,
+                                   err_msg=name)
+    # binary ints are exact
+    np.testing.assert_array_equal(f_b["node_type"].astype(np.uint8),
+                                  grid.node_type.ravel())
+    # and the binary file is much smaller
+    assert os.path.getsize(p_bin) < 0.5 * os.path.getsize(p_ascii)
