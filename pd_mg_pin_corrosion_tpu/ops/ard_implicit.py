@@ -249,26 +249,45 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
     # in double (pd_ard_implicit.cpp:399-417).
     if refine:
         f64 = jnp.float64
-        W64 = op.W.astype(f64)
         diag64 = op.diag.astype(f64)
         dt64 = dt.astype(f64)
 
-        def A64(x64):
-            x_p = kit.pad(x64, 0.0)
-            y = diag64 * x64
-            if kit.use_scan:
-                offs, _, _, _ = kit.stencil_jnp()
+        from ..pallas_kernels import (matvec3d_applicable,
+                                      matvec_slots_pallas_3d_ds)
+        use_ds = op.Wf is not None and matvec3d_applicable(kit)
 
-                def body(y, xs):
-                    W_s, off = xs
-                    return y + W_s.astype(f64) * kit.shift_dyn(x_p, off), None
+        if use_ds:
+            # double-single slot sum on native-f32 VPU passes (the W stream
+            # stays f32); only the cheap elementwise diag/combine ops run
+            # in emulated f64. Accuracy ~O(S*eps32^2) ~ 1e-12 relative —
+            # far below the refinement target.
+            def A64(x64):
+                x_hi = x64.astype(kit.jdtype)
+                x_lo = (x64 - x_hi.astype(f64)).astype(kit.jdtype)
+                y_hi, y_lo = matvec_slots_pallas_3d_ds(op, kit, x_hi, x_lo)
+                y = diag64 * x64 + y_hi.astype(f64) + y_lo.astype(f64)
+                Mx = jnp.where(op.unknown, y, 0.0)
+                return jnp.where(op.unknown, x64 - dt64 * Mx, x64)
+        else:
+            W64 = op.W.astype(f64)
 
-                y, _ = jax.lax.scan(body, y, (op.W, offs))
-            else:
-                for s, _, _, _ in kit.bond_iter():
-                    y = y + W64[s] * kit.shift(x_p, s)
-            Mx = jnp.where(op.unknown, y, 0.0)
-            return jnp.where(op.unknown, x64 - dt64 * Mx, x64)
+            def A64(x64):
+                x_p = kit.pad(x64, 0.0)
+                y = diag64 * x64
+                if kit.use_scan:
+                    offs, _, _, _ = kit.stencil_jnp()
+
+                    def body(y, xs):
+                        W_s, off = xs
+                        return (y + W_s.astype(f64) * kit.shift_dyn(x_p, off),
+                                None)
+
+                    y, _ = jax.lax.scan(body, y, (op.W, offs))
+                else:
+                    for s, _, _, _ in kit.bond_iter():
+                        y = y + W64[s] * kit.shift(x_p, s)
+                Mx = jnp.where(op.unknown, y, 0.0)
+                return jnp.where(op.unknown, x64 - dt64 * Mx, x64)
 
         b64 = b.astype(f64)
         b_norm = jnp.maximum(jnp.linalg.norm(b64.ravel()), 1e-300)

@@ -20,6 +20,7 @@ nodes); other cases fall back to the XLA path via `ns_step_auto`.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import replace
 
 import jax
@@ -153,20 +154,33 @@ def _ns_kernel(kit: Kit, nyb: int, nxr: int,
         inv_xi2 = inv_xi * inv_xi
         ex, ey = e_ij
 
-        fd = (rho_j * vx_j - rho_i * vx_i) * ex + (rho_j * vy_j - rho_i * vy_i) * ey
+        # terms scaled by an exactly-zero e component (axis-aligned bonds)
+        # are exact zeros — skip them at trace time; Mosaic does not fold
+        # x*0.0, so each skip drops whole VPU passes. Accumulators seed
+        # from the first live term (never a `zero +` pass — Mosaic does
+        # not fold 0.0+x either). Exact for finite fields.
+        fd = cx = cy = None
+        if ex != 0.0:
+            fd = (rho_j * vx_j - rho_i * vx_i) * ex
+            cx = (rho_j * vx_j * vx_j - rho_i * vx_i * vx_i) * ex
+            cy = (rho_j * vy_j * vx_j - rho_i * vy_i * vx_i) * ex
+        if ey != 0.0:
+            tf = (rho_j * vy_j - rho_i * vy_i) * ey
+            tx = (rho_j * vx_j * vy_j - rho_i * vx_i * vy_i) * ey
+            ty = (rho_j * vy_j * vy_j - rho_i * vy_i * vy_i) * ey
+            fd = tf if fd is None else fd + tf
+            cx = tx if cx is None else cx + tx
+            cy = ty if cy is None else cy + ty
         mass_conv += fd * inv_xi * V_j
         mass_diff += dens_coeff * (rho_j - rho_i) * inv_xi2 * V_j
-
-        cx = (rho_j * vx_j * vx_j - rho_i * vx_i * vx_i) * ex + \
-             (rho_j * vx_j * vy_j - rho_i * vx_i * vy_i) * ey
-        cy = (rho_j * vy_j * vx_j - rho_i * vy_i * vx_i) * ex + \
-             (rho_j * vy_j * vy_j - rho_i * vy_i * vy_i) * ey
         mcx += cx * inv_xi * V_j
         mcy += cy * inv_xi * V_j
 
         dp = (p_j - p_i) * inv_xi * V_j
-        mpx += dp * ex
-        mpy += dp * ey
+        if ex != 0.0:
+            mpx += dp * ex
+        if ey != 0.0:
+            mpy += dp * ey
 
         mvx += (vx_j - vx_i) * inv_xi2 * V_j
         mvy += (vy_j - vy_i) * inv_xi2 * V_j
@@ -259,7 +273,17 @@ def ns_step_auto(state: State, kit: Kit, dt) -> State:
 # accumulate in exact stencil order — bit-identical to the XLA path.
 
 _PRZ = 8     # z margin (sublane-aligned, >= mext)
-_BZ = 8      # z rows per grid step
+# z rows per grid step. Larger blocks amortize the halo DMA (a window of
+# _BZ + 2*_PRZ planes serves _BZ planes of output) and the per-group lane
+# rolls, which act on the whole window — but Mosaic's live ranges for the
+# 178-slot unrolled body scale with the window too: at the 1M production
+# geometry BZ=32 exceeds VMEM (355M of 128M, measured) and BZ=16 compiles
+# for >10 min. 8 is the validated production setting; the env knob remains
+# for sweeps on smaller geometries (scripts/bench_ns3d_bz.py).
+_BZ = int(os.environ.get("PD_TPU_NS3D_BZ", "8"))
+# sublane alignment, and nzb (a _BZ multiple) must stay divisible by the
+# matvec kernel's independent _BZ_MV = 8
+_BZ = max(8, (_BZ // 8) * 8)
 
 
 def _geometry_3d(kit: Kit):
@@ -374,20 +398,28 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
             inv_xi = 1.0 / xi
             inv_xi2 = inv_xi * inv_xi
 
-            fd = zero
+            # e_ij components that are exactly 0.0 (axis-aligned bonds)
+            # contribute exact zeros; skipping them drops whole VPU passes
+            # (Mosaic folds neither x*0.0 nor 0.0+x, so accumulators seed
+            # from the first live term). Exact for finite fields.
+            fd = None
             for d in range(3):
-                fd = fd + (rho_j * v_j[d] - rho_i * v_i[d]) * e_ij[d]
+                if e_ij[d] != 0.0:
+                    t = (rho_j * v_j[d] - rho_i * v_i[d]) * e_ij[d]
+                    fd = t if fd is None else fd + t
             mass_conv += fd * inv_xi * V_j
             mass_diff += dens_coeff * (rho_j - rho_i) * inv_xi2 * V_j
 
             for d in range(3):
-                conv_d = zero
+                conv_d = None
                 for dp in range(3):
-                    conv_d = conv_d + (
-                        rho_j * v_j[d] * v_j[dp] - rho_i * v_i[d] * v_i[dp]
-                    ) * e_ij[dp]
+                    if e_ij[dp] != 0.0:
+                        t = (rho_j * v_j[d] * v_j[dp]
+                             - rho_i * v_i[d] * v_i[dp]) * e_ij[dp]
+                        conv_d = t if conv_d is None else conv_d + t
                 mom_conv[d] += conv_d * inv_xi * V_j
-                mom_pres[d] += (p_j - p_i) * e_ij[d] * inv_xi * V_j
+                if e_ij[d] != 0.0:
+                    mom_pres[d] += (p_j - p_i) * e_ij[d] * inv_xi * V_j
                 mom_visc[d] += (v_j[d] - v_i[d]) * inv_xi2 * V_j
 
     dt = dt_ref[0, 0]
@@ -569,6 +601,10 @@ def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
 # flattening would dwarf the matvec itself.
 
 _CHUNK_MV3 = 30   # slots per streamed W chunk (S=178 -> 6 chunks at pad 180)
+_BZ_MV = 8        # z rows per matvec grid step — NOT tied to the NS kernel's
+                  # _BZ: the matvec streams 2 x (_CHUNK_MV3, _BZ_MV, Fr) W
+                  # buffers, so its VMEM need scales with the block size
+                  # (32 would blow the budget and silently fall back to XLA)
 
 
 def matvec3d_applicable(kit: Kit) -> bool:
@@ -581,10 +617,10 @@ def matvec3d_applicable(kit: Kit) -> bool:
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
     if nz * ny * nx < 100_000:
         return False
-    win = _BZ + 2 * _PRZ
+    win = _BZ_MV + 2 * _PRZ
     need = (win * cols                      # x window
-            + 2 * _CHUNK_MV3 * _BZ * Fr     # double-buffered W chunks
-            + 4 * _BZ * Fr) * 4             # diag/unk/y blocks + temporaries
+            + 2 * _CHUNK_MV3 * _BZ_MV * Fr     # double-buffered W chunks
+            + 4 * _BZ_MV * Fr) * 4             # diag/unk/y blocks + temporaries
     return need <= _VMEM_BUDGET
 
 
@@ -599,8 +635,8 @@ def _matvec_kernel_3d(kit: Kit, Fr: int, pcf: int,
     S = kit.S
     n_chunks = _n_chunks_mv3(kit)
     i = pl.program_id(0)
-    row0 = i * np.int32(_BZ)
-    win = _BZ + 2 * _PRZ
+    row0 = i * np.int32(_BZ_MV)
+    win = _BZ_MV + 2 * _PRZ
 
     dma_x = pltpu.make_async_copy(x_ref.at[pl.ds(row0, win), :], x_s,
                                   sems.at[0])
@@ -611,14 +647,14 @@ def _matvec_kernel_3d(kit: Kit, Fr: int, pcf: int,
     def w_dma(c):
         return pltpu.make_async_copy(
             W_ref.at[pl.ds(np.int32(c * _CHUNK_MV3), _CHUNK_MV3),
-                     pl.ds(row0, _BZ), :],
+                     pl.ds(row0, _BZ_MV), :],
             w_bufs[c % 2], sems.at[1 + (c % 2)])
 
     d0 = w_dma(0)
     d0.start()
     dma_x.wait()
 
-    acc = diag_ref[...] * x_s[_PRZ:_PRZ + _BZ, pcf:pcf + Fr]
+    acc = diag_ref[...] * x_s[_PRZ:_PRZ + _BZ_MV, pcf:pcf + Fr]
 
     pending = d0
     for c in range(n_chunks):
@@ -633,7 +669,7 @@ def _matvec_kernel_3d(kit: Kit, Fr: int, pcf: int,
                 break
             dk, dj, di = kit.offsets[s]
             f = dj * nxp + di
-            slab = x_s[_PRZ + dk:_PRZ + dk + _BZ, :]
+            slab = x_s[_PRZ + dk:_PRZ + dk + _BZ_MV, :]
             if f:
                 slab = pltpu.roll(slab, np.int32((-f) % slab.shape[1]), 1)
             acc += wb[k] * slab[:, pcf:pcf + Fr]
@@ -670,26 +706,26 @@ def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
     diag = flat_center(op.diag.astype(jnp.float32), 0.0)
     unk = flat_center(op.unknown, False)
 
-    win = _BZ + 2 * _PRZ
+    win = _BZ_MV + 2 * _PRZ
     with jax.enable_x64(False):  # see ns_step_pallas
         y = pl.pallas_call(
             functools.partial(_matvec_kernel_3d, kit, Fr, pcf),
-            grid=(nzb // _BZ,),
+            grid=(nzb // _BZ_MV,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),   # x (HBM, windowed)
                 pl.BlockSpec(memory_space=pltpu.ANY),   # Wf (HBM, streamed)
-                pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                pl.BlockSpec((_BZ_MV, Fr), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),  # diag
-                pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+                pl.BlockSpec((_BZ_MV, Fr), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),  # unknown
             ],
-            out_specs=pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((_BZ_MV, Fr), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nzb, Fr), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((win, cols), jnp.float32),
-                pltpu.VMEM((_CHUNK_MV3, _BZ, Fr), jnp.float32),
-                pltpu.VMEM((_CHUNK_MV3, _BZ, Fr), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -698,6 +734,152 @@ def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
         )(x_p, op.Wf, diag, unk)
 
     return y[:nz, :ny * nxp].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
+
+
+# ---------------------------------------------------------------------------
+# Double-single (compensated-f32) 3D stencil matvec for the refinement path
+# ---------------------------------------------------------------------------
+#
+# The mixed-precision iterative refinement in ops/ard_implicit.implicit_step
+# needs the residual r = b - (I - dt*M) x to ~1e-10 relative — below what a
+# plain f32 matvec can deliver (it floors at ~S*eps32 ~ 1e-5..1e-4 at stiff
+# dt). The previous implementation cast W to f64 and ran the XLA scan
+# matvec under TPU f64 *emulation*, which both re-streams W at twice the
+# bytes and pays the software-f64 multiply cost on every term. This kernel
+# instead computes sum_s W_s * x_s in double-single arithmetic on native
+# f32 hardware: the product W*x_hi is made exact with Dekker two-prod (no
+# hardware FMA on the VPU, so operands are split at 2^12+1), the W*x_lo
+# term carries x's low half, and slot accumulation is compensated with
+# Knuth two-sum. The result (y_hi, y_lo) satisfies
+# |y_hi + y_lo - sum_s W_s x_s| ~ O(S * eps32^2) ~ 1e-12 relative — well
+# below the refinement tolerance — while streaming W once in f32 exactly
+# like the fast matvec. The diag term and the outer (b - x + dt*M x)
+# combination stay in (cheap, elementwise) emulated f64 outside the kernel.
+
+_SPLIT_F32 = 4097.0   # 2^ceil(24/2) + 1, Dekker splitter for f32
+
+
+def _matvec_kernel_3d_ds(kit: Kit, Fr: int, pcf: int,
+                         xh_ref, xl_ref, W_ref, yh_out, yl_out,
+                         xh_s, xl_s, w_s0, w_s1, sems):
+    nxp = kit.shape[2] + 2 * kit.mext
+    S = kit.S
+    n_chunks = _n_chunks_mv3(kit)
+    i = pl.program_id(0)
+    row0 = i * np.int32(_BZ_MV)
+    win = _BZ_MV + 2 * _PRZ
+
+    dma_xh = pltpu.make_async_copy(xh_ref.at[pl.ds(row0, win), :], xh_s,
+                                   sems.at[0])
+    dma_xh.start()
+    dma_xl = pltpu.make_async_copy(xl_ref.at[pl.ds(row0, win), :], xl_s,
+                                   sems.at[3])
+    dma_xl.start()
+
+    w_bufs = [w_s0, w_s1]
+
+    def w_dma(c):
+        return pltpu.make_async_copy(
+            W_ref.at[pl.ds(np.int32(c * _CHUNK_MV3), _CHUNK_MV3),
+                     pl.ds(row0, _BZ_MV), :],
+            w_bufs[c % 2], sems.at[1 + (c % 2)])
+
+    d0 = w_dma(0)
+    d0.start()
+    dma_xh.wait()
+    dma_xl.wait()
+
+    acc_hi = jnp.zeros((_BZ_MV, Fr), jnp.float32)
+    acc_lo = jnp.zeros((_BZ_MV, Fr), jnp.float32)
+
+    pending = d0
+    for c in range(n_chunks):
+        pending.wait()
+        if c + 1 < n_chunks:
+            pending = w_dma(c + 1)
+            pending.start()
+        wb = w_bufs[c % 2]
+        for k in range(_CHUNK_MV3):
+            s = c * _CHUNK_MV3 + k
+            if s >= S:
+                break
+            dk, dj, di = kit.offsets[s]
+            f = dj * nxp + di
+            slab_h = xh_s[_PRZ + dk:_PRZ + dk + _BZ_MV, :]
+            slab_l = xl_s[_PRZ + dk:_PRZ + dk + _BZ_MV, :]
+            if f:
+                r = np.int32((-f) % slab_h.shape[1])
+                slab_h = pltpu.roll(slab_h, r, 1)
+                slab_l = pltpu.roll(slab_l, r, 1)
+            xh = slab_h[:, pcf:pcf + Fr]
+            xl = slab_l[:, pcf:pcf + Fr]
+            w = wb[k]
+
+            # Dekker two-prod: p + err == w * xh exactly (no VPU FMA)
+            cw = w * _SPLIT_F32
+            w_hi = cw - (cw - w)
+            w_lo = w - w_hi
+            cx = xh * _SPLIT_F32
+            x_hi = cx - (cx - xh)
+            x_lo = xh - x_hi
+            p = w * xh
+            err = ((w_hi * x_hi - p) + w_hi * x_lo + w_lo * x_hi) \
+                + w_lo * x_lo
+            # carry x's low half (error O(eps32^2) relative, negligible)
+            err = err + w * xl
+
+            # Knuth two-sum: s2 + e == acc_hi + p exactly
+            s2 = acc_hi + p
+            bb = s2 - acc_hi
+            e = (acc_hi - (s2 - bb)) + (p - bb)
+            acc_hi = s2
+            acc_lo = acc_lo + (e + err)
+
+    yh_out[...] = acc_hi
+    yl_out[...] = acc_lo
+
+
+@jax.jit
+def matvec_slots_pallas_3d_ds(op, kit: Kit, x_hi: jax.Array,
+                              x_lo: jax.Array):
+    """(y_hi, y_lo) ~= sum_s W_s * shift_s(x_hi + x_lo) to ~eps32^2.
+
+    Slot sum ONLY — no diag term, no unknown mask (both are applied by the
+    caller in f64, where they are cheap elementwise ops). Requires op.Wf."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+
+    xh_p = _flatten_3d(x_hi.astype(jnp.float32), kit, nzb, Fr, pcf)
+    xl_p = _flatten_3d(x_lo.astype(jnp.float32), kit, nzb, Fr, pcf)
+
+    win = _BZ_MV + 2 * _PRZ
+    with jax.enable_x64(False):  # see ns_step_pallas
+        yh, yl = pl.pallas_call(
+            functools.partial(_matvec_kernel_3d_ds, kit, Fr, pcf),
+            grid=(nzb // _BZ_MV,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x_hi (HBM, windowed)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # x_lo (HBM, windowed)
+                pl.BlockSpec(memory_space=pltpu.ANY),   # Wf (HBM, streamed)
+            ],
+            out_specs=[pl.BlockSpec((_BZ_MV, Fr), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((nzb, Fr), jnp.float32)] * 2,
+            scratch_shapes=[
+                pltpu.VMEM((win, cols), jnp.float32),
+                pltpu.VMEM((win, cols), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=48 * 1024 * 1024),
+            interpret=INTERPRET,
+        )(xh_p, xl_p, op.Wf)
+
+    def unflatten(a):
+        return a[:nz, :ny * nxp].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
+
+    return unflatten(yh), unflatten(yl)
 
 
 # ---------------------------------------------------------------------------

@@ -88,14 +88,49 @@ def run_ops(cfg, grid, kit, state):
     res["smooth_C"] = np.asarray(s6.C)
     res["salt"] = np.asarray(
         jax.jit(ard.compute_salt_blocked)(state, kit))
+
+    # refinement slot sum: the Pallas double-single kernel on TPU vs the
+    # exact f64 scan on CPU — the two agree to ~1e-12, so the 1e-5 gate
+    # catches any Mosaic lowering defect in the Dekker/two-sum sequences
+    from pd_mg_pin_corrosion_tpu import pallas_kernels as pk
+    rng = np.random.default_rng(31)
+    x64 = jnp.asarray(rng.random(kit.shape), jnp.float64)
+    x_hi = x64.astype(jnp.float32)
+    x_lo = (x64 - x_hi.astype(jnp.float64)).astype(jnp.float32)
+    if pk.matvec3d_applicable(kit):
+        opf = op if op.Wf is not None else ai.ImplicitOperator(
+            W=op.W, diag=op.diag, unknown=op.unknown,
+            Wf=pk.flatten_W_3d(op.W, kit))
+        yh, yl = pk.matvec_slots_pallas_3d_ds(opf, kit, x_hi, x_lo)
+        ds = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    else:
+        @jax.jit
+        def slot_sum64(W, v64):
+            x_p = kit.pad(v64, 0.0)
+            offs, _, _, _ = kit.stencil_jnp()
+
+            def body(y, xs):
+                W_s, off = xs
+                return (y + W_s.astype(jnp.float64)
+                        * kit.shift_dyn(x_p, off), None)
+
+            y, _ = jax.lax.scan(body, jnp.zeros(kit.shape, jnp.float64),
+                                (W, offs))
+            return y
+
+        ds = slot_sum64(op.W, x64)
+    res["ds_matvec"] = np.asarray(ds, np.float32)
     return res
 
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "save"
+    import jax
     if mode == "check":
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # production (cli.py) always runs under x64; validate what ships, and
+    # the ds_matvec entry needs f64 for its reference
+    jax.config.update("jax_enable_x64", True)
     cfg, grid, kit, state = build()
     res = run_ops(cfg, grid, kit, state)
     if mode == "save":

@@ -93,3 +93,50 @@ def test_pallas_3d_matvec_matches_xla():
         kit, v))(op, x))
     out = np.asarray(pk.matvec_M_pallas_3d(op, kit, x))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+def test_pallas_3d_ds_matvec_close_to_f64():
+    """Double-single refinement slot sum vs the exact f64 slot sum on real
+    Mosaic lowering (the Dekker/two-sum sequences must survive the
+    compiler; x64 emulation provides the reference)."""
+    from pd_mg_pin_corrosion_tpu.ops import ard_implicit as ai
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64 for the f64 reference")
+
+    cfg = Config.load("config/params_3d.cfg")
+    cfg.dx = 8.0e-6
+    cfg.precision = "f32"
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    assert pk.matvec3d_applicable(kit)
+    state = initialize_state(grid, cfg, dtype=kit.jdtype)
+
+    op = jax.jit(lambda s: ai.assemble(s, kit))(state)
+    assert op.Wf is not None
+
+    rng = np.random.default_rng(23)
+    x64 = jnp.asarray(rng.random(kit.shape), jnp.float64)
+    x_hi = x64.astype(jnp.float32)
+    x_lo = (x64 - x_hi.astype(jnp.float64)).astype(jnp.float32)
+
+    @jax.jit
+    def slot_sum64(W, v64):
+        x_p = kit.pad(v64, 0.0)
+        y = jnp.zeros(kit.shape, jnp.float64)
+        offs, _, _, _ = kit.stencil_jnp()
+
+        def body(y, xs):
+            W_s, off = xs
+            return y + W_s.astype(jnp.float64) * kit.shift_dyn(x_p, off), None
+
+        y, _ = jax.lax.scan(body, y, (W, offs))
+        return y
+
+    ref = np.asarray(slot_sum64(op.W, x64))
+    yh, yl = pk.matvec_slots_pallas_3d_ds(op, kit, x_hi, x_lo)
+    out = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+
+    scale = np.abs(ref).max()
+    err = np.abs(out - ref).max() / scale
+    assert err < 1e-10, f"ds error {err:.3e}"
