@@ -25,7 +25,10 @@ jax.config.update("jax_enable_x64", True)  # match cli.py:46
 
 
 def sync(x):
-    jax.tree_util.tree_map(lambda a: a.block_until_ready(), x)
+    # block_until_ready returns before execution under the axon relay; the
+    # only reliable fence is a device->host transfer (memory/axon-tpu-quirks)
+    for a in jax.tree_util.tree_leaves(x):
+        float(jnp.sum(a.astype(jnp.float32)))
 
 
 def main():
@@ -52,24 +55,24 @@ def main():
 
     dt = compute_dt(state, kit)
 
-    @jax.jit
-    def steps(s, n):
-        def body(_, ss):
-            return pk.ns_step_pallas_3d(ss, kit, dt)
-        return jax.lax.fori_loop(0, n, body, s)
+    if "--no-ns" not in sys.argv:
+        @jax.jit
+        def steps(s, n):
+            def body(_, ss):
+                return pk.ns_step_pallas_3d(ss, kit, dt)
+            return jax.lax.fori_loop(0, n, body, s)
 
-    t0 = time.time()
-    sync(steps(state, 1))
-    print(f"compile+1: {time.time() - t0:.1f}s", flush=True)
-    best = 1e9
-    for _ in range(3):
         t0 = time.time()
-        sync(steps(state, 50))
-        best = min(best, (time.time() - t0) / 50)
-    n_act = int((kit.act_np != 0).sum()) if hasattr(kit, "act_np") else grid.N_total
-    print(f"ns_step_pallas_3d: {best * 1e3:.3f} ms/step  "
-          f"(~{grid.N_total * S / best / 1e9:.1f} G bond-ops/s upper bound)",
-          flush=True)
+        sync(steps(state, 1))
+        print(f"compile+1: {time.time() - t0:.1f}s", flush=True)
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            sync(steps(state, 50))
+            best = min(best, (time.time() - t0) / 50)
+        print(f"ns_step_pallas_3d: {best * 1e3:.3f} ms/step  "
+              f"(~{grid.N_total * S / best / 1e9:.1f} G bond-ops/s upper bound)",
+              flush=True)
 
     if not do_implicit:
         return
@@ -87,14 +90,17 @@ def main():
 
     x = state.C
 
+    # NB: op must be a jit ARGUMENT — closing over the ~750MB weight array
+    # turns it into an HLO literal and the axon remote compiler rejects the
+    # request (HTTP 413). See memory/axon-tpu-quirks.md.
     @jax.jit
-    def mv32(x):
+    def mv32(o, x):
         def body(_, y):
-            return matvec_M(op, kit, y)
+            return matvec_M(o, kit, y)
         return jax.lax.fori_loop(0, 20, body, x)
 
-    sync(mv32(x))
-    t0 = time.time(); sync(mv32(x)); print(
+    sync(mv32(op, x))
+    t0 = time.time(); sync(mv32(op, x)); print(
         f"f32 matvec: {(time.time() - t0) / 20 * 1e3:.2f} ms", flush=True)
 
     if jax.config.jax_enable_x64:
@@ -103,7 +109,7 @@ def main():
         diag64 = op.diag.astype(f64)
 
         @jax.jit
-        def mv64(x64):
+        def mv64(W64, diag64, x64):
             def body(_, y):
                 x_p = kit.pad(y, 0.0)
                 acc = diag64 * y
@@ -122,19 +128,19 @@ def main():
             return jax.lax.fori_loop(0, 5, body, x64)
 
         x64 = x.astype(f64)
-        sync(mv64(x64))
-        t0 = time.time(); sync(mv64(x64)); print(
+        sync(mv64(W64, diag64, x64))
+        t0 = time.time(); sync(mv64(W64, diag64, x64)); print(
             f"f64 matvec (emulated): {(time.time() - t0) / 5 * 1e3:.2f} ms",
             flush=True)
 
     # full implicit step (GMRES + refinement), production dt scale
     dt_imp = jnp.asarray(30.0, kit.jdtype)
-    step_fn = jax.jit(lambda s: implicit_step(s, op, kit, dt_imp))
-    t0 = time.time(); sync(step_fn(state)[0].C)
+    step_fn = jax.jit(lambda s, o: implicit_step(s, o, kit, dt_imp))
+    t0 = time.time(); sync(step_fn(state, op)[0].C)
     print(f"implicit_step compile+1: {time.time() - t0:.1f}s", flush=True)
     best = 1e9
     for _ in range(3):
-        t0 = time.time(); sync(step_fn(state)[0].C)
+        t0 = time.time(); sync(step_fn(state, op)[0].C)
         best = min(best, time.time() - t0)
     print(f"implicit_step: {best * 1e3:.1f} ms", flush=True)
 

@@ -65,8 +65,10 @@ def main():
     ladder = []
     for a in sys.argv[2:]:
         label, _, dv = a.partition("=")
-        dg, _, dgb = dv.partition(":")
-        ladder.append((label, float(dg), float(dgb), 1))
+        parts = dv.split(":")
+        dg, dgb = float(parts[0]), float(parts[1])
+        gbw = int(parts[2]) if len(parts) > 2 else 1
+        ladder.append((label, dg, dgb, gbw))
     if not ladder:
         ladder = [
             ("2d-calibrated", 5e-11, 5e-9, 1),
@@ -84,7 +86,9 @@ def main():
         results.append((label, dg, dgb, gbw, loss_at_anchor, rows[-1, 2],
                         rows[-1, 0]))
 
-    lines = [
+    report = f"{base}/REPORT.md"
+    fresh = not os.path.exists(report)
+    lines = [] if not fresh else [
         "# 3D calibration sweep vs Reimers anchors",
         "",
         f"Geometry: params_3d.cfg at dx={dx:g}; anchor "
@@ -97,7 +101,7 @@ def main():
         lines.append(f"| {r[0]} | {r[1]:g} | {r[2]:g} | {r[3]} | "
                      f"{r[4]:.2f} % | {r[5]:.2f} % | {r[6]:.0f} s |")
     lines.append("")
-    with open(f"{base}/REPORT.md", "w") as f:
+    with open(report, "a") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))
 
