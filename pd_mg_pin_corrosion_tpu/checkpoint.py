@@ -28,6 +28,7 @@ _IO_KEYS = frozenset({
     # whether the stored state is compatible with this grid/physics
     "flow_max_iters", "flow_max_iters_resolve", "flow_output_stride",
     "corrosion_steps_per_check", "dissolution_batch",
+    "implicit_fused_chunk",
 })
 
 

@@ -159,6 +159,15 @@ class Config:
     # keeps 3D flow from converging by tolerance; the weighted mirror
     # removes the leading-order error. 0 = reference behavior.
     wall_mirror_subcell: int = 0
+    # Fuse the implicit inner loop (adaptive dt -> BCs -> GMRES ->
+    # smoothing -> dissolution check) into ONE device-side lax.while_loop
+    # per coupling cycle, buffering diagnostics rows on device, instead of
+    # one host round-trip per step. Trajectory- and CSV-identical to the
+    # step-at-a-time loop (the exit conditions of coupling.cpp:174-213 are
+    # evaluated on device); per-step GMRES warnings are aggregated to a
+    # per-cycle maximum. Only engages when per-step VTI output is disabled
+    # (implicit_output_every > 1e6). 0 = reference-style host loop.
+    implicit_fused_chunk: int = 0
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the
     # reference's vtk_writer.cpp), 1 = VTK XML appended-raw binary (~6x
     # smaller, ~50x faster serialization; a 1M-node ASCII VTI is ~130MB
@@ -199,6 +208,7 @@ class Config:
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
             "flow_output_stride", "flow_max_iters_resolve",
             "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
+            "implicit_fused_chunk",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

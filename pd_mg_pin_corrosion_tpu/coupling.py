@@ -78,8 +78,7 @@ def assemble_operator(state: State, kit, vol_loss):
     return ops_for(kit).assemble(state, kit, vol_loss)
 
 
-@jax.jit
-def implicit_inner_step(state: State, op, kit):
+def _implicit_inner_core(state: State, op, kit):
     """One implicit corrosion step: adaptive dt -> BCs -> GMRES -> smoothing
     -> fictitious refresh (AMR) -> dissolution flag + diagnostics
     (coupling.cpp:174-212)."""
@@ -97,6 +96,52 @@ def implicit_inner_step(state: State, op, kit):
         .astype(jnp.int32))
     diag = diagnostics(state, kit)
     return state, dt, n_below, res, diag
+
+
+implicit_inner_step = jax.jit(_implicit_inner_core)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
+                         batch, diag_every, max_steps: int):
+    """Up to ``max_steps`` implicit corrosion steps fused in ONE device
+    while_loop, with the reference's inner-loop exit conditions
+    (coupling.cpp:174-213) evaluated on device: stop at ``max_steps``, at
+    ``T_final``, or after the step on which >= ``batch`` solid nodes
+    crossed C_thresh. Diagnostics rows for steps where
+    ``(total_steps0 + k) % diag_every == 0`` are buffered on device in
+    (t, loss, solid, v_max, C_max) form.
+
+    Trajectory-identical to calling ``implicit_inner_step`` step-at-a-time
+    (same op sequence; t accumulates in the same f64 arithmetic the host
+    loop uses under x64). Returns
+    ``(state, t, steps_done, dissolved, max_res, rows, n_rows)``.
+    """
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    rows0 = jnp.zeros((max_steps, 5), f64)
+
+    def cond(c):
+        _, t, k, dissolved, _, _, _ = c
+        return (k < max_steps) & (t < T_final) & jnp.logical_not(dissolved)
+
+    def body(c):
+        state, t, k, _, max_res, rows, n_rows = c
+        state, dt, n_below, res, diag = _implicit_inner_core(state, op, kit)
+        t = t + dt.astype(f64)
+        k = k + 1
+        dissolved = n_below >= batch
+        max_res = jnp.maximum(max_res, res.astype(f64))
+        write = ((total_steps0 + k) % diag_every) == 0
+        row = jnp.stack([t] + [diag[i].astype(f64) for i in range(4)])
+        rows = jax.lax.cond(write, lambda r: r.at[n_rows].set(row),
+                            lambda r: r, rows)
+        n_rows = n_rows + write.astype(jnp.int32)
+        return (state, t, k, dissolved, max_res, rows, n_rows)
+
+    init = (state, jnp.asarray(t0, f64), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(0.0, f64), rows0,
+            jnp.asarray(0, jnp.int32))
+    return jax.lax.while_loop(cond, body, init)
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -295,7 +340,32 @@ class CoupledSolver:
                 dissolution_occurred = False
 
                 gmres_tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
-                while (implicit_step_n < cfg.corrosion_steps_per_check
+                # Fused device loop: one launch per cycle instead of one
+                # host round-trip per step; only when per-step VTI output
+                # is effectively disabled (the loop cannot emit files).
+                fused = (bool(cfg.implicit_fused_chunk)
+                         and cfg.implicit_output_every > 10**6)
+                if fused:
+                    (state, t_dev, k, dissolved, max_res, rows,
+                     n_rows) = implicit_inner_chunk(
+                        state, op, kit, t_corr, self.total_implicit_steps,
+                        cfg.T_final, max(cfg.dissolution_batch, 1),
+                        max(cfg.diagnostic_every, 1),
+                        cfg.corrosion_steps_per_check)
+                    k = int(k)
+                    t_corr = float(t_dev)
+                    implicit_step_n = k
+                    self.total_implicit_steps += k
+                    dissolution_occurred = bool(dissolved)
+                    if float(max_res) > 100.0 * gmres_tol:
+                        # failure-detection telemetry, aggregated per cycle
+                        print(f"WARNING: GMRES did not converge in at least "
+                              f"one step (max |res|={float(max_res):.2e})")
+                    for r in np.asarray(rows)[:int(n_rows)]:
+                        self._write_diagnostics(cfg, float(r[0]),
+                                                (r[1], r[2], r[3], r[4]))
+                while (not fused
+                       and implicit_step_n < cfg.corrosion_steps_per_check
                        and t_corr < cfg.T_final and not dissolution_occurred):
                     state, dt, n_below, res, diag = implicit_inner_step(
                         state, op, kit)
