@@ -65,6 +65,17 @@ class Config:
     C_sat: float = 0.9
     alpha_art_diff: float = 0.1
     corrosion_decay_l: float = 0.0
+    # EXTENSION (not in the reference): exposure-driven amplification of the
+    # solid micro-diffusivities, 10^(+V_L / corrosion_accel_l) — the
+    # accelerating counterpart of the Hermann et al. 2022 Eq. 42 decay.
+    # 0 = disabled (default; absent from every reference config, so all
+    # reference workloads are unaffected). Motivation: the Reimers et al.
+    # 2023 anchors are slightly SUPER-linear in time (22.86 % at 4.23 h,
+    # ~50 % at 9 h = 2.19x loss over a 2.13x time span), while a constant-D
+    # front on a shrinking cylinder is sub-linear — real Mg corrosion
+    # accelerates with exposure (pitting/surface roughening); this folds
+    # that into the same effective-diffusivity slot the decay law uses.
+    corrosion_accel_l: float = 0.0
 
     # Grain structure
     grain_size_mean: float = 40.0e-6
@@ -306,6 +317,8 @@ class Config:
         print(f"  precip_clust = {c.precip_cluster_cells} cells")
         decay = "" if c.corrosion_decay_l > 0 else " (disabled)"
         print(f"  corr_decay_l = {c.corrosion_decay_l:.3f}{decay}")
+        if c.corrosion_accel_l > 0:
+            print(f"  corr_accel_l = {c.corrosion_accel_l:.3f} (extension)")
         print(f"  C_sat        = {c.C_sat:.2f}")
         print(f"  T_final      = {c.T_final:.1f} s ({c.T_final / 3600.0:.2f} h)")
         print(f"  output_dir   = {c.output_dir}")

@@ -46,6 +46,25 @@ def compute_salt_blocked(state: State, kit: Kit) -> jax.Array:
     return blocked & (state.node_type == SOLID_MG)
 
 
+def micro_d_factor(cfg, volume_loss_fraction, dtype) -> jax.Array:
+    """Volume-loss-dependent scaling of the solid micro-diffusivities.
+
+    Decay term: Hermann et al. 2022 Eq. 42, ``10^(-V_L/corrosion_decay_l)``
+    (pd_ard.cpp:75-79). Acceleration term (EXTENSION, disabled by default,
+    absent from all reference configs): ``10^(+V_L/corrosion_accel_l)`` —
+    exposure-driven amplification fitted to the super-linear Reimers
+    volume-loss kinetics (see the 3D two-anchor calibration,
+    docs/runs/calib_3d/REPORT.md). Both terms compose multiplicatively.
+    """
+    vl = jnp.asarray(volume_loss_fraction, dtype)
+    factor = jnp.asarray(1.0, dtype)
+    if cfg.corrosion_decay_l > 0.0:
+        factor = factor * jnp.power(10.0, -vl / cfg.corrosion_decay_l)
+    if cfg.corrosion_accel_l > 0.0:
+        factor = factor * jnp.power(10.0, vl / cfg.corrosion_accel_l)
+    return factor
+
+
 def compute_dt(state: State, kit: Kit) -> jax.Array:
     """Explicit transport CFL (pd_ard.cpp:34-53)."""
     cfg = kit.cfg
@@ -71,12 +90,8 @@ def ard_step(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State:
 
     salt_blocked = compute_salt_blocked(state, kit)
 
-    # Hermann et al. 2022 Eq. 42 decay (pd_ard.cpp:75-79)
-    if cfg.corrosion_decay_l > 0.0:
-        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
-                          / cfg.corrosion_decay_l)
-    else:
-        decay = jnp.asarray(1.0, kit.jdtype)
+    # Hermann et al. 2022 Eq. 42 decay (pd_ard.cpp:75-79) + accel extension
+    decay = micro_d_factor(cfg, volume_loss_fraction, kit.jdtype)
 
     C_i = state.C
     vel_i = jnp.where(i_fluid[..., None], state.vel, 0.0)

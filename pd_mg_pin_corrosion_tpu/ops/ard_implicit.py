@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..fields import State
 from ..grid import FLUID, INLET, OUTLET, OUTSIDE, SOLID_MG, WALL, FICTITIOUS
 from ..kit import Kit
-from .ard import compute_salt_blocked
+from .ard import compute_salt_blocked, micro_d_factor
 
 
 @jax.tree_util.register_dataclass
@@ -65,11 +65,7 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
 
     salt_blocked = compute_salt_blocked(state, kit)
 
-    if cfg.corrosion_decay_l > 0.0:
-        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
-                          / cfg.corrosion_decay_l)
-    else:
-        decay = jnp.asarray(1.0, kit.jdtype)
+    decay = micro_d_factor(cfg, volume_loss_fraction, kit.jdtype)
 
     vel_i = jnp.where(i_fluid[..., None], state.vel, 0.0)
     D_s_i = jnp.where(state.is_gb, cfg.D_gb,

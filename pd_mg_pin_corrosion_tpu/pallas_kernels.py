@@ -997,12 +997,8 @@ def ard_step_pallas(state: State, kit: Kit, dt,
     si = nt == SOLID_MG
 
     salt = compute_salt_blocked(state, kit)
-    if cfg.corrosion_decay_l > 0.0:
-        decay = jnp.power(
-            10.0, -jnp.asarray(volume_loss_fraction, jnp.float32)
-            / cfg.corrosion_decay_l)
-    else:
-        decay = jnp.asarray(1.0, jnp.float32)
+    from .ops.ard import micro_d_factor
+    decay = micro_d_factor(cfg, volume_loss_fraction, jnp.float32)
     Ds = jnp.where(state.is_gb, cfg.D_gb,
                    jnp.where(state.is_precip, cfg.D_precip,
                              cfg.D_grain)) * decay

@@ -25,6 +25,7 @@ from .amr import AMRGrid
 from .config import Config
 from .fields import State
 from .grid import (FICTITIOUS, FLUID, INLET, OUTLET, OUTSIDE, SOLID_MG, WALL)
+from .ops.ard import micro_d_factor
 
 PI = math.pi
 
@@ -403,11 +404,7 @@ def ard_compute_dt(state: State, kit: UKit):
 def ard_step(state: State, kit: UKit, dt, volume_loss_fraction=0.0) -> State:
     cfg = kit.cfg
     dt = jnp.asarray(dt, kit.jdtype)
-    if cfg.corrosion_decay_l > 0.0:
-        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
-                          / cfg.corrosion_decay_l)
-    else:
-        decay = jnp.asarray(1.0, kit.jdtype)
+    decay = micro_d_factor(cfg, volume_loss_fraction, kit.jdtype)
 
     i_fluid, i_solid, valid, ll, ss, D_avg = _bond_terms(state, kit, decay)
     active = i_fluid | i_solid
@@ -462,11 +459,7 @@ class ImplicitOperatorU:
 
 def assemble(state: State, kit: UKit, volume_loss_fraction=0.0) -> ImplicitOperatorU:
     cfg = kit.cfg
-    if cfg.corrosion_decay_l > 0.0:
-        decay = jnp.power(10.0, -jnp.asarray(volume_loss_fraction, kit.jdtype)
-                          / cfg.corrosion_decay_l)
-    else:
-        decay = jnp.asarray(1.0, kit.jdtype)
+    decay = micro_d_factor(cfg, volume_loss_fraction, kit.jdtype)
 
     i_fluid, i_solid, valid, ll, ss, D_avg = _bond_terms(state, kit, decay)
     unknown = i_fluid | i_solid

@@ -306,3 +306,53 @@ def test_interface_dissolution():
     assert n_dissolved == 60
     nt2 = np.asarray(state2.node_type)
     assert int((nt2 == SOLID_MG).sum()) == n_solid_total - n_dissolved
+
+
+def test_micro_d_factor_accel_extension():
+    """corrosion_accel_l (EXTENSION, not in the reference): exposure-driven
+    amplification 10^(+V_L/l) composing with the Hermann decay 10^(-V_L/l).
+    Defaults (both 0) must leave every reference workload untouched."""
+    from pd_mg_pin_corrosion_tpu.ops.ard import micro_d_factor
+
+    cfg = make_test_config(1e-9, 0.0)
+    assert float(micro_d_factor(cfg, 0.37, jnp.float64)) == 1.0
+
+    cfg.corrosion_decay_l = 0.5
+    assert float(micro_d_factor(cfg, 0.3, jnp.float64)) == pytest.approx(
+        10.0 ** (-0.3 / 0.5), rel=1e-12)
+
+    cfg.corrosion_accel_l = 0.944
+    assert float(micro_d_factor(cfg, 0.3, jnp.float64)) == pytest.approx(
+        10.0 ** (-0.3 / 0.5) * 10.0 ** (0.3 / 0.944), rel=1e-12)
+
+    cfg.corrosion_decay_l = 0.0
+    assert float(micro_d_factor(cfg, 0.3, jnp.float64)) == pytest.approx(
+        10.0 ** (0.3 / 0.944), rel=1e-12)
+
+
+def test_accel_scales_interface_weights():
+    """With accel set, the implicit operator's interface bond weights scale
+    by exactly 10^(V_L/l) (solid micro-D << D_liquid makes the harmonic
+    mean ~2*D_s, i.e. linear in the factor); LL bonds are unaffected."""
+    cfg = make_test_config(1e-9, 0.0)
+    cfg.R_wire = 40.0e-6
+    cfg.L_wire = 200.0e-6
+    cfg.D_grain = 1e-16
+    cfg.D_gb = 1e-14
+    cfg.compute_derived()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state = initialize_state(grid, cfg, dtype=jnp.float64)
+
+    op0 = ai.assemble(state, kit, 0.25)  # accel disabled: factor 1
+    cfg.corrosion_accel_l = 1.0
+    op1 = ai.assemble(state, kit, 0.25)  # factor 10^0.25
+
+    W0 = np.asarray(op0.W)
+    W1 = np.asarray(op1.W)
+    changed = ~np.isclose(W1, W0, rtol=1e-13, atol=0.0)
+    nz = W0 != 0.0
+    assert changed.any(), "accel must change interface weights"
+    ratio = W1[changed & nz] / W0[changed & nz]
+    # harmonic mean 2*DL*Ds*f/(DL + Ds*f) ~= 2*Ds*f to O(Ds/DL) ~ 1e-5
+    assert np.allclose(ratio, 10.0 ** 0.25, rtol=1e-4)
