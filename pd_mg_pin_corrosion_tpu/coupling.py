@@ -173,6 +173,8 @@ class CoupledSolver:
         self.total_dissolved = 0
         self.dissolved_since_flow = 0
         self.flow_solve_count = 0
+        self._prof = False
+        self.phase_s = {}
 
     # ------------------------------------------------------------------
     def _filename(self, cfg, prefix, time_s):
@@ -180,6 +182,7 @@ class CoupledSolver:
         return f"{cfg.output_dir}/{prefix}_{self.frame_count:06d}_t{time_s:.1f}s{ext}"
 
     def _write_state(self, cfg, grid, state, prefix, t, pvd_writer):
+        t_ph = time.time()
         fname = self._filename(cfg, prefix, t)
         if cfg.use_amr:
             self.writer.write_vtu(fname, grid, state, cfg)
@@ -187,6 +190,7 @@ class CoupledSolver:
             self.writer.write(fname, grid, state, cfg)
         pvd_writer.add_timestep(t, fname)
         self.frame_count += 1
+        self._phase("io_vtk", t_ph)
 
     def _init_csv(self, cfg):
         with open(f"{cfg.output_dir}/diagnostics.csv", "w") as f:
@@ -237,9 +241,39 @@ class CoupledSolver:
             f.write(f"{t / 3600.0:.6f},{loss:.6f}\n")
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    def _phase(self, name, t0, fence=None):
+        """Cumulative per-phase wall-clock (PD_TPU_PHASE_TIMERS=1).
+
+        ``fence`` forces a device->host transfer first — under the axon
+        relay that is the only reliable execution fence — so the elapsed
+        time attributes to this phase, not the next one. Off by default:
+        the fences are extra syncs production runs shouldn't pay.
+        """
+        if not self._prof:
+            return
+        if fence is not None:
+            for a in jax.tree_util.tree_leaves(fence):
+                if hasattr(a, "dtype"):
+                    float(jnp.sum(a.astype(jnp.float32)))
+        self.phase_s[name] = self.phase_s.get(name, 0.0) + (time.time() - t0)
+
+    def _report_phases(self, total):
+        if not self._prof or not self.phase_s:
+            return
+        print("  [Timer] phase breakdown:")
+        acc = 0.0
+        for name, s in sorted(self.phase_s.items(), key=lambda kv: -kv[1]):
+            print(f"    {name:16s} {s:9.2f} s  ({100.0 * s / total:5.1f} %)")
+            acc += s
+        print(f"    {'(untimed)':16s} {total - acc:9.2f} s  "
+              f"({100.0 * (total - acc) / total:5.1f} %)")
+
     def run(self, grid, state: State, kit, cfg) -> State:
         ops = ops_for(kit)
         t_start = time.time()
+        self._prof = bool(os.environ.get("PD_TPU_PHASE_TIMERS"))
+        self.phase_s = {}
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.writer.set_pvd_path(f"{cfg.output_dir}/simulation.pvd")
         self.flow_writer.set_pvd_path(f"{cfg.output_dir}/flow.pvd")
@@ -304,6 +338,7 @@ class CoupledSolver:
                 print(f"  Flow re-solve triggered ({self.dissolved_since_flow} "
                       f"nodes dissolved since last flow solve)")
                 verbose_flow = bool(os.environ.get("PD_TPU_VERBOSE_FLOW"))
+                t_ph = time.time()
                 is_resolve = cycle > 1 or self.total_dissolved > 0
                 cap = (cfg.flow_max_iters_resolve
                        if is_resolve and cfg.flow_max_iters_resolve > 0
@@ -321,6 +356,7 @@ class CoupledSolver:
                     if np.isfinite(err):
                         print(f"  Poiseuille validation (upstream): "
                               f"L2 rel error = {err:.3e}")
+                self._phase("flow_solve", t_ph)
                 self.dissolved_since_flow = 0
                 need_flow_solve = False
                 self.flow_solve_count += 1
@@ -332,8 +368,10 @@ class CoupledSolver:
 
             # --- Phase 2: corrosion with frozen velocity ---
             if cfg.use_implicit:
+                t_ph = time.time()
                 vol_loss = volume_loss_fraction(state, kit)
                 op = assemble_operator(state, kit, vol_loss)
+                self._phase("assemble", t_ph, fence=op.W)
 
                 implicit_step_n = 0
                 t_cycle_start = t_corr
@@ -346,13 +384,15 @@ class CoupledSolver:
                 fused = (bool(cfg.implicit_fused_chunk)
                          and cfg.implicit_output_every > 10**6)
                 if fused:
+                    t_ph = time.time()
                     (state, t_dev, k, dissolved, max_res, rows,
                      n_rows) = implicit_inner_chunk(
                         state, op, kit, t_corr, self.total_implicit_steps,
                         cfg.T_final, max(cfg.dissolution_batch, 1),
                         max(cfg.diagnostic_every, 1),
                         cfg.corrosion_steps_per_check)
-                    k = int(k)
+                    k = int(k)  # fences the chunk execution
+                    self._phase("implicit_chunk", t_ph)
                     t_corr = float(t_dev)
                     implicit_step_n = k
                     self.total_implicit_steps += k
@@ -364,6 +404,7 @@ class CoupledSolver:
                     for r in np.asarray(rows)[:int(n_rows)]:
                         self._write_diagnostics(cfg, float(r[0]),
                                                 (r[1], r[2], r[3], r[4]))
+                t_ph = time.time()
                 while (not fused
                        and implicit_step_n < cfg.corrosion_steps_per_check
                        and t_corr < cfg.T_final and not dissolution_occurred):
@@ -388,6 +429,8 @@ class CoupledSolver:
                     dissolution_occurred = int(n_below) >= max(
                         cfg.dissolution_batch, 1)
 
+                if not fused:
+                    self._phase("implicit_steps", t_ph)
                 print(f"  Implicit cycle: {implicit_step_n} steps, "
                       f"t={t_cycle_start:.2f} to {t_corr:.2f} s "
                       f"({t_corr / 3600.0:.4f} h)")
@@ -423,8 +466,10 @@ class CoupledSolver:
                                                 diagnostics(state, kit))
 
             # --- Phase 3: phase change (device remask, no rebuild) ---
+            t_ph = time.time()
             state, n_dissolved = ops.apply_phase_change(state, kit)
-            n_dissolved = int(n_dissolved)
+            n_dissolved = int(n_dissolved)  # fences
+            self._phase("phase_change", t_ph)
             self.total_dissolved += n_dissolved
             self.dissolved_since_flow += n_dissolved
             if n_dissolved > 0:
@@ -435,6 +480,7 @@ class CoupledSolver:
             else:
                 print("  No phase changes this cycle")
 
+            t_ph = time.time()
             if cfg.checkpoint_every and cycle % cfg.checkpoint_every == 0:
                 save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                                 {"cycle": cycle,
@@ -443,6 +489,7 @@ class CoupledSolver:
                                  "frame_count": self.frame_count,
                                  "flow_solve_count": self.flow_solve_count},
                                 fp, fp_grid=fp_grid, cfg_json=cfg_json)
+            self._phase("checkpoint", t_ph)
 
             solid_remaining = int(jnp.sum(
                 (state.node_type == SOLID_MG).astype(jnp.int32)))
@@ -454,5 +501,7 @@ class CoupledSolver:
         self._write_state(cfg, grid, state, "final", t_corr, self.writer)
         print(f"\n=== Simulation complete ===")
         print(f"  Final time: {t_corr:.1f} s ({t_corr / 3600.0:.2f} h)")
-        print(f"  [Timer] total_simulation: {time.time() - t_start:.3f} s")
+        total = time.time() - t_start
+        print(f"  [Timer] total_simulation: {total:.3f} s")
+        self._report_phases(total)
         return state
