@@ -179,6 +179,17 @@ class Config:
     # per-cycle maximum. Only engages when per-step VTI output is disabled
     # (implicit_output_every > 1e6). 0 = reference-style host loop.
     implicit_fused_chunk: int = 0
+    # Fuse N WHOLE coupling cycles ([flow re-solve] -> assemble -> implicit
+    # steps to the dissolution exit -> phase change) into one device
+    # execution — the dissolve-and-continue loop. Removes the per-event
+    # host round-trip that dominates event-dense runs (AMR production).
+    # The initial flow solve stays host-segmented (its uncapped iteration
+    # budget would exceed the TPU relay's single-execution deadline); size
+    # N so that N * (flow_max_iters_resolve * iter_time + steps * GMRES
+    # time) stays under ~2 minutes. Flow VTI snapshots inside a chunk are
+    # skipped (telemetry aggregated); needs implicit_output_every > 1e6,
+    # like implicit_fused_chunk. 0 = off.
+    coupled_fused_cycles: int = 0
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the
     # reference's vtk_writer.cpp), 1 = VTK XML appended-raw binary (~6x
     # smaller, ~50x faster serialization; a 1M-node ASCII VTI is ~130MB
@@ -219,7 +230,7 @@ class Config:
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
             "flow_output_stride", "flow_max_iters_resolve",
             "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
-            "implicit_fused_chunk",
+            "implicit_fused_chunk", "coupled_fused_cycles",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

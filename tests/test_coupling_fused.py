@@ -33,3 +33,39 @@ def test_fused_chunk_matches_host_loop(tmp_path):
                                   np.asarray(final_h.C))
     np.testing.assert_array_equal(np.asarray(final_f.node_type),
                                   np.asarray(final_h.node_type))
+
+
+def test_coupled_cycles_chunk_matches_host_loop(tmp_path):
+    """coupled_fused_cycles (dissolve-and-continue device loop) must be
+    trajectory- and CSV-identical to the host-driven cycle loop: same flow
+    re-solve cadence/caps, same inner exit conditions, same phase-change
+    points. Only flow VTI snapshots inside a chunk are skipped."""
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    _, _, solver_h, final_h = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.coupled_fused_cycles = 3
+    _, _, solver_f, final_f = run_solver(cfg_fused)
+
+    assert solver_h.total_dissolved > 0  # the dissolution path fired
+    assert solver_f.total_dissolved == solver_h.total_dissolved
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+    assert solver_f.flow_solve_count == solver_h.flow_solve_count
+
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
+
+    # node types (dissolution history) must agree exactly; fields agree to
+    # f64 roundoff — compiling the flow segment inside the big chunk lets
+    # XLA fuse differently than the standalone host-path executable, so
+    # bit-identity across the jit partitioning is not guaranteed
+    np.testing.assert_array_equal(np.asarray(final_f.node_type),
+                                  np.asarray(final_h.node_type))
+    np.testing.assert_allclose(np.asarray(final_f.C),
+                               np.asarray(final_h.C), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(final_f.vel),
+                               np.asarray(final_h.vel), rtol=0, atol=1e-12)
