@@ -283,14 +283,22 @@ def _build_mirror_table(cfg, node_type, pos, origin, Nx, Ny, Nz, stencil) -> np.
     # node's horizon contains a dissolving (SOLID_MG) node — otherwise the
     # nearest-FLUID fallback could change as the wire dissolves and the
     # reference (which re-searches every call, boundary.cpp:253-263) would
-    # diverge from this precomputed table.
-    shp = np.asarray(shape)
-    wc = np.stack(np.unravel_index(wall_flat, shape), -1)            # [W, nd]
-    nc = wc[:, None, :] + np.asarray(stencil.offsets)[None, :, :]    # [W, S, nd]
-    inb = np.all((nc >= 0) & (nc < shp), axis=-1)
-    nflat = np.ravel_multi_index(
-        tuple(np.moveaxis(np.clip(nc, 0, shp - 1), -1, 0)), shape)
-    if np.any((flat_nt[nflat] == SOLID_MG) & inb):
+    # diverge from this precomputed table. Checked as S shifted mask-ANDs
+    # (a [W, S, nd] candidate-coordinate tensor at 1M nodes costs minutes
+    # of host time and ~GBs of intermediates).
+    wall_m = node_type == WALL
+    solid_m = node_type == SOLID_MG
+    stale = False
+    if solid_m.any():
+        for off in np.asarray(stencil.offsets):
+            sl_w = tuple(slice(max(0, -int(o)), shape[a] - max(0, int(o)))
+                         for a, o in enumerate(off))
+            sl_s = tuple(slice(max(0, int(o)), shape[a] - max(0, -int(o)))
+                         for a, o in enumerate(off))
+            if np.any(wall_m[sl_w] & solid_m[sl_s]):
+                stale = True
+                break
+    if stale:
         raise ValueError(
             "static wall-mirror table invalid: a WALL node's horizon "
             "intersects the initial solid set (wire too close to the tube "
@@ -331,42 +339,59 @@ def _build_mirror_table(cfg, node_type, pos, origin, Nx, Ny, Nz, stencil) -> np.
         # ghost bands. Fallback nodes are the ~64 stair-case columns whose
         # rounded mirror lands back in the wall band; the deviation only
         # changes which nearby interior value pads those wall nodes.
+        # Vectorized per-COLUMN computation (the map is z-invariant): the
+        # geometric mirror + accepted check run once per unique (j, i) wall
+        # column — evaluated at that column's first z-plane in flat order,
+        # exactly like the per-node loop's col_cache did — then broadcast
+        # to every wall node. The per-node Python loop was the dominant
+        # grid-build cost at production sizes (~200k wall nodes).
+        NxNy = Nx * Ny
         kk, jj, ii = np.unravel_index(wall_flat, shape)
-        xs = pos[..., 0].ravel()[wall_flat]
-        ys = pos[..., 1].ravel()[wall_flat]
+        cols_flat = (jj * Nx + ii).astype(np.int64)
+        # wall_flat ascending == (k, j, i) lexicographic, so return_index
+        # picks the smallest-k occurrence — the loop's first encounter
+        ucols, first_idx = np.unique(cols_flat, return_index=True)
+        kf = kk[first_idx].astype(np.int64)
+        xv = pos[..., 0].ravel()[wall_flat[first_idx]]
+        yv = pos[..., 1].ravel()[wall_flat[first_idx]]
+
+        r = np.sqrt(xv * xv + yv * yv)
+        geo = (r > cfg.R_tube) & (r > 1e-30)
+        r_safe = np.maximum(r, 1e-300)
+        r_m = 2.0 * cfg.R_tube - r
+        # np.round is round-half-even, same as the scalar round() used before
+        i_m = np.round((xv * r_m / r_safe - origin[0]) / dx).astype(np.int64)
+        j_m = np.round((yv * r_m / r_safe - origin[1]) / dx).astype(np.int64)
+        inb = geo & (i_m >= 0) & (i_m < Nx) & (j_m >= 0) & (j_m < Ny)
+        cand = kf * NxNy + j_m * Nx + i_m
+        acc_arr = np.asarray(sorted(accepted), dtype=flat_nt.dtype)
+        ok = np.zeros(ucols.size, bool)
+        ok[inb] = np.isin(flat_nt[cand[inb]], acc_arr)
+        q = np.where(ok, j_m * Nx + i_m, -1)
+
+        # nearest accepted node in-plane within the stencil extent — only
+        # the few stair-case columns whose rounded mirror lands in the wall
         mext = int(np.max(np.abs(stencil.offsets)))
-        col_cache: dict = {}
-        for n, k, j, i, xv, yv in zip(wall_flat, kk, jj, ii, xs, ys):
-            col = (j, i)
-            if col in col_cache:
-                q = col_cache[col]
-                mirror[n] = k * (Nx * Ny) + q if q >= 0 else -1
-                continue
-            r = math.sqrt(xv * xv + yv * yv)
-            q = -1
-            if r > cfg.R_tube and r > 1e-30:
-                r_m = 2.0 * cfg.R_tube - r
-                i_m = int(round((xv * r_m / r - origin[0]) / dx))
-                j_m = int(round((yv * r_m / r - origin[1]) / dx))
-                if 0 <= i_m < Nx and 0 <= j_m < Ny and \
-                        flat_nt[k * (Nx * Ny) + j_m * Nx + i_m] in accepted:
-                    q = j_m * Nx + i_m
-            if q < 0:
-                # nearest accepted node in-plane within the stencil extent
-                best_d = np.inf
-                for dj2 in range(-mext, mext + 1):
-                    for di2 in range(-mext, mext + 1):
-                        j2, i2 = j + dj2, i + di2
-                        if not (0 <= j2 < Ny and 0 <= i2 < Nx):
-                            continue
-                        d2 = dj2 * dj2 + di2 * di2
-                        if d2 == 0 or d2 >= best_d:
-                            continue
-                        if flat_nt[k * (Nx * Ny) + j2 * Nx + i2] in accepted:
-                            best_d = d2
-                            q = j2 * Nx + i2
-            col_cache[col] = q
-            mirror[n] = k * (Nx * Ny) + q if q >= 0 else -1
+        for c in np.flatnonzero(~ok):
+            k, j, i = int(kf[c]), int(ucols[c]) // Nx, int(ucols[c]) % Nx
+            best_d = np.inf
+            qc = -1
+            for dj2 in range(-mext, mext + 1):
+                for di2 in range(-mext, mext + 1):
+                    j2, i2 = j + dj2, i + di2
+                    if not (0 <= j2 < Ny and 0 <= i2 < Nx):
+                        continue
+                    d2 = dj2 * dj2 + di2 * di2
+                    if d2 == 0 or d2 >= best_d:
+                        continue
+                    if flat_nt[k * NxNy + j2 * Nx + i2] in accepted:
+                        best_d = d2
+                        qc = j2 * Nx + i2
+            q[c] = qc
+
+        qs = q[np.searchsorted(ucols, cols_flat)]
+        mirror[wall_flat] = np.where(
+            qs >= 0, kk.astype(np.int64) * NxNy + qs, -1).astype(np.int32)
 
     return mirror.reshape(shape)
 
