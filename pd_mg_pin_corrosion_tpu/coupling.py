@@ -549,7 +549,7 @@ class CoupledSolver:
                 t_ph = time.time()
                 vol_loss = volume_loss_fraction(state, kit)
                 op = assemble_operator(state, kit, vol_loss)
-                self._phase("assemble", t_ph, fence=op.W)
+                self._phase("assemble", t_ph, fence=op)  # op is a pytree
 
                 implicit_step_n = 0
                 t_cycle_start = t_corr
