@@ -28,7 +28,9 @@ _IO_KEYS = frozenset({
     # whether the stored state is compatible with this grid/physics
     "flow_max_iters", "flow_max_iters_resolve", "flow_output_stride",
     "corrosion_steps_per_check", "dissolution_batch",
-    "implicit_fused_chunk",
+    "implicit_fused_chunk", "coupled_fused_cycles",
+    # snapshot encoding: pure IO, no bearing on state compatibility
+    "vtk_binary",
 })
 
 
