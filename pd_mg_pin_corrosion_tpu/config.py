@@ -176,8 +176,9 @@ class Config:
     # one host round-trip per step. Trajectory- and CSV-identical to the
     # step-at-a-time loop (the exit conditions of coupling.cpp:174-213 are
     # evaluated on device); per-step GMRES warnings are aggregated to a
-    # per-cycle maximum. Only engages when per-step VTI output is disabled
-    # (implicit_output_every > 1e6). 0 = reference-style host loop.
+    # per-chunk maximum. VTI cadence is preserved: the device loop exits
+    # exactly at implicit_output_every boundaries so the host writes the
+    # same snapshots at the same steps. 0 = reference-style host loop.
     implicit_fused_chunk: int = 0
     # Fuse N WHOLE coupling cycles ([flow re-solve] -> assemble -> implicit
     # steps to the dissolution exit -> phase change) into one device

@@ -103,7 +103,9 @@ implicit_inner_step = jax.jit(_implicit_inner_core)
 
 @partial(jax.jit, static_argnames=("max_steps",))
 def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
-                         batch, diag_every, max_steps: int):
+                         batch, diag_every, max_steps: int,
+                         output_every=jnp.asarray(2**30, jnp.int32),
+                         k0=jnp.asarray(0, jnp.int32)):
     """Up to ``max_steps`` implicit corrosion steps fused in ONE device
     while_loop, with the reference's inner-loop exit conditions
     (coupling.cpp:174-213) evaluated on device: stop at ``max_steps``, at
@@ -111,6 +113,12 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
     crossed C_thresh. Diagnostics rows for steps where
     ``(total_steps0 + k) % diag_every == 0`` are buffered on device in
     (t, loss, solid, v_max, C_max) form.
+
+    ``output_every``: the chunk additionally exits when the global step
+    count lands on a VTI output boundary, so the host can write the
+    snapshot at exactly the step the step-at-a-time loop would have —
+    fusing stays output-cadence-exact instead of requiring per-step VTI
+    to be disabled.
 
     Trajectory-identical to calling ``implicit_inner_step`` step-at-a-time
     (same op sequence; t accumulates in the same f64 arithmetic the host
@@ -122,7 +130,9 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
 
     def cond(c):
         _, t, k, dissolved, _, _, _ = c
-        return (k < max_steps) & (t < T_final) & jnp.logical_not(dissolved)
+        at_output = (k > 0) & (((total_steps0 + k) % output_every) == 0)
+        return ((k0 + k < max_steps) & (t < T_final)
+                & jnp.logical_not(dissolved) & jnp.logical_not(at_output))
 
     def body(c):
         state, t, k, _, max_res, rows, n_rows = c
@@ -556,32 +566,43 @@ class CoupledSolver:
                 dissolution_occurred = False
 
                 gmres_tol = 1e-10 if kit.jdtype == jnp.float64 else 1e-6
-                # Fused device loop: one launch per cycle instead of one
-                # host round-trip per step; only when per-step VTI output
-                # is effectively disabled (the loop cannot emit files).
-                fused = (bool(cfg.implicit_fused_chunk)
-                         and cfg.implicit_output_every > 10**6)
-                if fused:
+                # Fused device loop: one launch per run of steps instead of
+                # one host round-trip per step. VTI cadence is preserved:
+                # the device loop exits exactly at output boundaries so the
+                # host writes the same snapshots at the same global steps
+                # the step-at-a-time loop would.
+                fused = bool(cfg.implicit_fused_chunk)
+                out_every = jnp.asarray(
+                    min(max(cfg.implicit_output_every, 1), 2**30), jnp.int32)
+                while (fused
+                       and implicit_step_n < cfg.corrosion_steps_per_check
+                       and t_corr < cfg.T_final and not dissolution_occurred):
                     t_ph = time.time()
                     (state, t_dev, k, dissolved, max_res, rows,
                      n_rows) = implicit_inner_chunk(
                         state, op, kit, t_corr, self.total_implicit_steps,
                         cfg.T_final, max(cfg.dissolution_batch, 1),
                         max(cfg.diagnostic_every, 1),
-                        cfg.corrosion_steps_per_check)
+                        cfg.corrosion_steps_per_check,
+                        output_every=out_every,
+                        k0=jnp.asarray(implicit_step_n, jnp.int32))
                     k = int(k)  # fences the chunk execution
                     self._phase("implicit_chunk", t_ph)
                     t_corr = float(t_dev)
-                    implicit_step_n = k
+                    implicit_step_n += k
                     self.total_implicit_steps += k
                     dissolution_occurred = bool(dissolved)
                     if float(max_res) > 100.0 * gmres_tol:
-                        # failure-detection telemetry, aggregated per cycle
+                        # failure-detection telemetry, aggregated per chunk
                         print(f"WARNING: GMRES did not converge in at least "
                               f"one step (max |res|={float(max_res):.2e})")
                     for r in np.asarray(rows)[:int(n_rows)]:
                         self._write_diagnostics(cfg, float(r[0]),
                                                 (r[1], r[2], r[3], r[4]))
+                    if (k > 0 and self.total_implicit_steps
+                            % cfg.implicit_output_every == 0):
+                        self._write_state(cfg, grid, state, "corr", t_corr,
+                                          self.writer)
                 t_ph = time.time()
                 while (not fused
                        and implicit_step_n < cfg.corrosion_steps_per_check

@@ -69,3 +69,36 @@ def test_coupled_cycles_chunk_matches_host_loop(tmp_path):
                                np.asarray(final_h.C), rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(final_f.vel),
                                np.asarray(final_h.vel), rtol=0, atol=1e-12)
+
+
+def test_fused_chunk_preserves_vti_cadence(tmp_path):
+    """With per-step VTI output ENABLED, the fused chunk must exit at
+    output boundaries and produce the same snapshot files (names = global
+    step cadence + times) as the step-at-a-time loop."""
+    import os
+
+    def listing(cfg):
+        return sorted(f for f in os.listdir(cfg.output_dir)
+                      if f.startswith("corr_") and f.endswith(".vti"))
+
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    cfg_host.implicit_output_every = 3
+    _, _, solver_h, _ = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.implicit_output_every = 3
+    cfg_fused.implicit_fused_chunk = 1
+    _, _, solver_f, _ = run_solver(cfg_fused)
+
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+    host_vtis = listing(cfg_host)
+    fused_vtis = listing(cfg_fused)
+    assert host_vtis, "cadence must actually produce snapshots"
+    assert fused_vtis == host_vtis
+
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
