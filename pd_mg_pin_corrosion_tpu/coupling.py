@@ -105,7 +105,8 @@ implicit_inner_step = jax.jit(_implicit_inner_core)
 def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
                          batch, diag_every, max_steps: int,
                          output_every=jnp.asarray(2**30, jnp.int32),
-                         k0=jnp.asarray(0, jnp.int32)):
+                         k0=jnp.asarray(0, jnp.int32),
+                         launch_cap=jnp.asarray(2**30, jnp.int32)):
     """Up to ``max_steps`` implicit corrosion steps fused in ONE device
     while_loop, with the reference's inner-loop exit conditions
     (coupling.cpp:174-213) evaluated on device: stop at ``max_steps``, at
@@ -131,7 +132,10 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
     def cond(c):
         _, t, k, dissolved, _, _, _ = c
         at_output = (k > 0) & (((total_steps0 + k) % output_every) == 0)
-        return ((k0 + k < max_steps) & (t < T_final)
+        # launch_cap bounds ONE device execution (the TPU relay kills
+        # executions past ~2 min); the host loop re-launches to finish
+        # the cycle budget, so semantics are unchanged
+        return ((k0 + k < max_steps) & (k < launch_cap) & (t < T_final)
                 & jnp.logical_not(dissolved) & jnp.logical_not(at_output))
 
     def body(c):
@@ -574,6 +578,12 @@ class CoupledSolver:
                 fused = bool(cfg.implicit_fused_chunk)
                 out_every = jnp.asarray(
                     min(max(cfg.implicit_output_every, 1), 2**30), jnp.int32)
+                # implicit_fused_chunk > 1 sets the per-launch step cap;
+                # =1 uses a deadline-safe default (50 x ~0.5-1.5 s/step
+                # stays under the relay's ~2 min execution limit)
+                launch_cap = jnp.asarray(
+                    cfg.implicit_fused_chunk if cfg.implicit_fused_chunk > 1
+                    else 50, jnp.int32)
                 while (fused
                        and implicit_step_n < cfg.corrosion_steps_per_check
                        and t_corr < cfg.T_final and not dissolution_occurred):
@@ -585,7 +595,8 @@ class CoupledSolver:
                         max(cfg.diagnostic_every, 1),
                         cfg.corrosion_steps_per_check,
                         output_every=out_every,
-                        k0=jnp.asarray(implicit_step_n, jnp.int32))
+                        k0=jnp.asarray(implicit_step_n, jnp.int32),
+                        launch_cap=launch_cap)
                     k = int(k)  # fences the chunk execution
                     self._phase("implicit_chunk", t_ph)
                     t_corr = float(t_dev)
