@@ -10,8 +10,11 @@ own Hermann et al. 2022 Eq. 42 decay slot (`corrosion_decay_l`,
 the params_implicit_test geometry to 9 h so both anchors can be fit with
 purely reference-native physics.
 
-Usage: python scripts/calibrate_2d.py [label=D_grain:D_gb[:decay_l] ...]
+Usage: python scripts/calibrate_2d.py [label=D_grain:D_gb[:decay_l[:accel_l]] ...]
 Writes docs/runs/calib_2d/<label>/diagnostics.csv + REPORT.md rows.
+(decay_l/accel_l of 0 = disabled; accel_l is the framework extension,
+used here only for the final sub-percent polish — the main 2D result is
+the reference-native rescale.)
 """
 
 import os
@@ -25,7 +28,7 @@ T_ANCHOR1, LOSS_ANCHOR1 = 15228.0, 22.86
 T_ANCHOR2, LOSS_ANCHOR2 = 32400.0, 50.0
 
 
-def run_one(label, D_grain, D_gb, decay_l, outdir):
+def run_one(label, D_grain, D_gb, decay_l, outdir, accel_l=None):
     from pd_mg_pin_corrosion_tpu.config import Config
     from pd_mg_pin_corrosion_tpu.coupling import CoupledSolver
     from pd_mg_pin_corrosion_tpu.fields import initialize_state
@@ -38,6 +41,8 @@ def run_one(label, D_grain, D_gb, decay_l, outdir):
     cfg.D_gb = D_gb
     if decay_l is not None:
         cfg.corrosion_decay_l = decay_l
+    if accel_l is not None:
+        cfg.corrosion_accel_l = accel_l
     cfg.output_dir = outdir
     cfg.checkpoint_every = 0
     cfg.flow_output_stride = 10**9
@@ -62,18 +67,19 @@ def main():
         parts = dv.split(":")
         dg, dgb = float(parts[0]), float(parts[1])
         dl = float(parts[2]) if len(parts) > 2 else None
-        ladder.append((label, dg, dgb, dl))
+        al = float(parts[3]) if len(parts) > 3 else None
+        ladder.append((label, dg, dgb, dl, al))
     if not ladder:
-        ladder = [("baseline-9h", 1.0e-16, 1.0e-14, None)]
+        ladder = [("baseline-9h", 1.0e-16, 1.0e-14, None, None)]
 
     base = "docs/runs/calib_2d"
     os.makedirs(base, exist_ok=True)
     results = []
-    for label, dg, dgb, dl in ladder:
-        rows = run_one(label, dg, dgb, dl, f"{base}/{label}")
+    for label, dg, dgb, dl, al in ladder:
+        rows = run_one(label, dg, dgb, dl, f"{base}/{label}", accel_l=al)
         l1 = float(np.interp(T_ANCHOR1, rows[:, 0], rows[:, 2]))
         l2 = float(np.interp(T_ANCHOR2, rows[:, 0], rows[:, 2]))
-        results.append((label, dg, dgb, dl, l1, l2, rows[-1, 0]))
+        results.append((label, dg, dgb, f"{dl}/{al}", l1, l2, rows[-1, 0]))
 
     report = f"{base}/REPORT.md"
     lines = []
