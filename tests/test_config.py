@@ -60,3 +60,21 @@ def test_missing_file_falls_back_to_defaults():
     cfg = Config.load("/nonexistent/params.cfg")
     assert cfg.dx == 5.0e-6
     assert cfg.delta > 0
+
+
+def test_anchor_fit_roundtrip():
+    """scripts/anchor_fit.py: the two-anchor ODE fit recovers (s, l) that
+    reproduce both anchors on a synthetic response with known dynamics."""
+    import sys
+    sys.path.insert(0, "scripts")
+    import numpy as np
+    from anchor_fit import fit_two_anchor, predict
+
+    # synthetic intrinsic rate: constant-speed shrinking cylinder
+    def f0(V):
+        return 1e-5 * np.sqrt(np.maximum(1.0 - np.asarray(V), 0.0))
+
+    t1, V1, t2, V2 = 15228.0, 0.2286, 32400.0, 0.50
+    s, l, _ = fit_two_anchor(f0, t1, V1, t2, V2, sign=1.0)
+    assert abs(predict(f0, s, l, 1.0, t1) - V1) < 2e-4
+    assert abs(predict(f0, s, l, 1.0, t2) - V2) < 2e-4
