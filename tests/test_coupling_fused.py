@@ -102,3 +102,41 @@ def test_fused_chunk_preserves_vti_cadence(tmp_path):
         with open(f"{cfg_fused.output_dir}/{name}") as f:
             fused_rows = f.read()
         assert fused_rows == host_rows, name
+
+
+def test_fused_chunk_launch_cap_matches_host(tmp_path):
+    """implicit_fused_chunk=N>1 sets the per-launch step cap (the TPU
+    relay kills device executions past ~2 min, so production runs use
+    small caps); mid-window relaunches must not change the trajectory,
+    the diagnostics cadence, or the VTI snapshot set."""
+    import os
+
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    cfg_host.implicit_output_every = 7
+    _, _, solver_h, final_h = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.implicit_output_every = 7
+    cfg_fused.implicit_fused_chunk = 3  # cap 3 steps/launch (< the
+    # 20-step cycle budget AND not a divisor of output_every: exercises
+    # cap exits, output-boundary exits, and their interleaving)
+    _, _, solver_f, final_f = run_solver(cfg_fused)
+
+    assert solver_h.total_dissolved > 0
+    assert solver_f.total_dissolved == solver_h.total_dissolved
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+
+    def listing(cfg):
+        return sorted(f for f in os.listdir(cfg.output_dir)
+                      if f.startswith("corr_") and f.endswith(".vti"))
+
+    assert listing(cfg_fused) == listing(cfg_host)
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
+
+    np.testing.assert_array_equal(np.asarray(final_f.node_type),
+                                  np.asarray(final_h.node_type))
