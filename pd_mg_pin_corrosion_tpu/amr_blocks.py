@@ -623,10 +623,12 @@ def implicit_step(state: State, op: ImplicitOperatorB, kit: BKit, dt,
         return y
 
     from .ops.gmres import gmres
+    from .pallas_kernels import gmres_basis_ok
+    flat = gmres_basis_ok(kit, C_old.size)
 
     b = jnp.where(op.fict, 0.0, C_old)
     x, (res, _cycles) = gmres(A, b, C_old, tol=inner_tol, restart=restart,
-                              maxiter=maxiter, M=precond)
+                              maxiter=maxiter, M=precond, flat_kernels=flat)
 
     if refine:
         f64 = jnp.float64
@@ -643,17 +645,28 @@ def implicit_step(state: State, op: ImplicitOperatorB, kit: BKit, dt,
         b_norm = jnp.maximum(jnp.linalg.norm(b64.ravel()), 1e-300)
         x64 = x.astype(f64)
 
-        def refine_pass(x64):
-            r64 = b64 - A64(x64)
+        def refine_pass(carry):
+            x64, r64, res = carry
+            # right-size the correction: contract from res to tol (0.3
+            # safety factor; the outer res > tol guard re-runs if short)
+            tol_c = jnp.clip(0.5 * tol / jnp.maximum(res, 1e-300),
+                             1e-4, 0.5)
             e, _ = gmres(A, r64.astype(kit.jdtype), jnp.zeros_like(x),
-                         tol=1e-2, restart=restart, maxiter=restart * 2,
-                         M=precond)
-            return x64 + e.astype(f64)
+                         tol=tol_c, restart=restart, maxiter=restart * 2,
+                         M=precond, flat_kernels=flat)
+            x64n = x64 + e.astype(f64)
+            r64n = b64 - A64(x64n)
+            resn = jnp.linalg.norm(r64n.ravel()) / b_norm
+            return x64n, r64n, resn
 
-        x64 = refine_pass(x64)
-        res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
-        x64 = jax.lax.cond(res > tol, refine_pass, lambda v: v, x64)
-        res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
+        def refine_if_needed(carry):
+            return jax.lax.cond(carry[2] > tol, refine_pass,
+                                lambda c: c, carry)
+
+        r64 = b64 - A64(x64)
+        res = jnp.linalg.norm(r64.ravel()) / b_norm
+        carry = refine_if_needed((x64, r64, res))
+        x64, _, res = refine_if_needed(carry)
         x = x64.astype(kit.jdtype)
 
     solved = op.unknown | op.fict

@@ -48,6 +48,14 @@ class ImplicitOperator:
     # per assemble so the per-matvec cost is one streamed pass over the
     # weights. None when the Pallas 3D matvec is not applicable.
     Wf: jax.Array | None = None
+    # diag/unknown in the (nzb, Fr) center layout, precomputed alongside Wf
+    # so chained matvecs (GMRES) skip the per-call layout conversion
+    diag_f: jax.Array | None = None
+    unk_f: jax.Array | None = None
+    # bf16 copy of Wf for preconditioner matvecs only (halves the dominant
+    # HBM stream; a right preconditioner's accuracy affects convergence
+    # speed, never the converged answer)
+    Wf16: jax.Array | None = None
 
 
 def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperator:
@@ -145,10 +153,18 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
     # 3D TPU fast path: pre-flatten the weight stack for the streamed
     # Pallas matvec, once per cycle (per-matvec flattening of ~750MB would
     # dominate the matvec itself)
-    from ..pallas_kernels import flatten_W_3d, matvec3d_applicable
-    Wf = flatten_W_3d(W, kit) if matvec3d_applicable(kit) else None
+    from ..pallas_kernels import (flat3d_center, flatten_W_3d,
+                                  matvec3d_applicable)
+    if matvec3d_applicable(kit):
+        Wf = flatten_W_3d(W, kit)
+        diag_f = flat3d_center(kit, diag.astype(jnp.float32))
+        unk_f = flat3d_center(kit, unknown, False)
+        Wf16 = Wf.astype(jnp.bfloat16)
+    else:
+        Wf = diag_f = unk_f = Wf16 = None
 
-    return ImplicitOperator(W=W, diag=diag, unknown=unknown, Wf=Wf)
+    return ImplicitOperator(W=W, diag=diag, unknown=unknown, Wf=Wf,
+                            diag_f=diag_f, unk_f=unk_f, Wf16=Wf16)
 
 
 def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
@@ -230,10 +246,68 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         return y
 
     from .gmres import gmres
+    from ..pallas_kernels import (basis_shape_ok, flat3d_pad_center,
+                                  flat3d_unx_win, flat3d_x, gmres_basis_ok,
+                                  matvec3d_applicable,
+                                  matvec_M_pallas_3d_core, _geometry_3d)
+    flat = gmres_basis_ok(kit, C_old.size)
+    if flat and op.Wf is not None and matvec3d_applicable(kit):
+        geo = _geometry_3d(kit)
+        rows, cols = geo[10], geo[8]
+        flat3d = basis_shape_ok((rows, cols))
+    else:
+        flat3d = False
+
+    if flat3d:
+        # Solve entirely in the 3D matvec kernel's own windowed layout
+        # (rows, cols): every A/preconditioner application chains the
+        # streamed matvec with zero layout conversions (the per-Arnoldi-step
+        # field<->flat retiles measured ~7 ms at the 1M flagship shape —
+        # comparable to the 3 matvecs they wrapped).
+        unk_p = flat3d_pad_center(kit, op.unk_f, False)
+        invd_p = flat3d_pad_center(kit, 1.0 / (1.0 - dt * op.diag_f), 1.0)
+
+        def A_s(xp):
+            yp = flat3d_pad_center(kit, matvec_M_pallas_3d_core(op, kit, xp))
+            return jnp.where(unk_p, xp - dt * yp, xp)
+
+        def A_pc(xp):  # bf16-stream operator, preconditioner-internal only
+            yp = flat3d_pad_center(
+                kit, matvec_M_pallas_3d_core(op, kit, xp, op.Wf16))
+            return jnp.where(unk_p, xp - dt * yp, xp)
+
+        def jacobi_s(xp):
+            return jnp.where(unk_p, xp * invd_p, xp)
+
+        def precond_s(xp):
+            # Neumann-4 here (vs 2 on the XLA path): at the 1M flagship
+            # shape the deeper sweep halves the Arnoldi step count, and the
+            # bf16 stream halves what each extra sweep costs — measured
+            # 261 -> ~140 ms on the production correction solve.
+            y = jacobi_s(xp)
+            for _ in range(4):
+                y = y + jacobi_s(xp - A_pc(y))
+            return y
+
+        def to_s(v):
+            return flat3d_x(kit, v)
+
+        from_s = partial(flat3d_unx_win, kit)
+    else:
+        A_s, precond_s = A, precond
+        to_s = from_s = lambda v: v
+
+    def solve_correction(r32, tol_c):
+        e_s, info = gmres(A_s, to_s(r32), to_s(jnp.zeros_like(r32)),
+                          tol=tol_c, restart=restart, maxiter=restart * 2,
+                          M=precond_s, flat_kernels=flat)
+        return from_s(e_s), info
 
     b = C_old
-    x, (res, _cycles) = gmres(A, b, C_old, tol=inner_tol, restart=restart,
-                              maxiter=maxiter, M=precond)
+    x_s, (res, _cycles) = gmres(A_s, to_s(b), to_s(C_old), tol=inner_tol,
+                                restart=restart, maxiter=maxiter,
+                                M=precond_s, flat_kernels=flat)
+    x = from_s(x_s)
 
     # Mixed-precision iterative refinement (f32 mode only): the attainable
     # f32 residual is floored near eps32 * ||A|| * ||x|| / ||b|| ~ 1e-4 at
@@ -293,22 +367,34 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         # inner solve's relative accuracy (~1e-2), so two passes reach 1e-8
         x64 = x.astype(f64)
 
-        def refine_pass(x64):
-            r64 = b64 - A64(x64)
+        def refine_pass(carry):
+            x64, r64, res = carry
             # correction solve in f32 on the f64-accurate residual; GMRES
-            # normalizes internally so the small scale is benign
-            e, _ = gmres(A, r64.astype(kit.jdtype),
-                         jnp.zeros_like(x), tol=1e-2, restart=restart,
-                         maxiter=restart * 2, M=precond)
-            return x64 + e.astype(f64)
+            # normalizes internally so the small scale is benign. The
+            # correction only needs to contract the residual from `res` to
+            # `tol` — asking for the fixed 100x (tol 1e-2) burned a full
+            # restart cycle at moderate dt when a handful of Arnoldi steps
+            # already sufficed (the 0.5 safety factor covers the Givens
+            # estimate's optimism vs the true f64 residual; the outer
+            # res > tol guard re-runs the pass if it falls short).
+            tol_c = jnp.clip(0.5 * tol / jnp.maximum(res, 1e-300),
+                             1e-4, 0.5)
+            e, _ = solve_correction(r64.astype(kit.jdtype), tol_c)
+            x64n = x64 + e.astype(f64)
+            r64n = b64 - A64(x64n)
+            resn = jnp.linalg.norm(r64n.ravel()) / b_norm
+            return x64n, r64n, resn
 
-        x64 = refine_pass(x64)
-        res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
-        # second pass only when the first did not reach tol (typical only
-        # at stiff dt; at moderate dt it would waste an f64 matvec + an
-        # inner solve per step)
-        x64 = jax.lax.cond(res > tol, refine_pass, lambda v: v, x64)
-        res = jnp.linalg.norm((b64 - A64(x64)).ravel()) / b_norm
+        def refine_if_needed(carry):
+            return jax.lax.cond(carry[2] > tol, refine_pass,
+                                lambda c: c, carry)
+
+        r64 = b64 - A64(x64)
+        res = jnp.linalg.norm(r64.ravel()) / b_norm
+        carry = (x64, r64, res)
+        carry = refine_if_needed(carry)
+        carry = refine_if_needed(carry)
+        x64, _, res = carry
         x = x64.astype(kit.jdtype)
 
     C_new = jnp.where(op.unknown, jnp.clip(x, 0.0, cfg.C_solid_init), C_old)

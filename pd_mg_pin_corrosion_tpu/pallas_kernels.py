@@ -672,7 +672,8 @@ def _matvec_kernel_3d(kit: Kit, Fr: int, pcf: int,
             slab = x_s[_PRZ + dk:_PRZ + dk + _BZ_MV, :]
             if f:
                 slab = pltpu.roll(slab, np.int32((-f) % slab.shape[1]), 1)
-            acc += wb[k] * slab[:, pcf:pcf + Fr]
+            # astype is a no-op for the f32 stream; upcasts the bf16 one
+            acc += wb[k].astype(jnp.float32) * slab[:, pcf:pcf + Fr]
 
     y_out[...] = jnp.where(unk_ref[...], acc, 0.0)
 
@@ -689,22 +690,55 @@ def flatten_W_3d(W: jax.Array, kit: Kit) -> jax.Array:
     return jnp.pad(Wp, ((0, 0), (0, nzb - nz), (0, Fr - ny * nxp)))
 
 
-@jax.jit
-def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
-    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 3D f32).
-    Requires op.Wf (assemble pre-flattens it when applicable)."""
+def flat3d_x(kit: Kit, a: jax.Array, fill=0.0) -> jax.Array:
+    """Field [Nz,Ny,Nx] -> the 3D kernels' windowed (rows, cols) x layout."""
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    return _flatten_3d(a.astype(jnp.float32), kit, nzb, Fr, pcf, fill)
 
-    x_p = _flatten_3d(x.astype(jnp.float32), kit, nzb, Fr, pcf)
 
-    def flat_center(a, fill):
-        a = jnp.pad(a, ((0, 0), (0, 0), (mx, mx)), constant_values=fill)
-        a = a.reshape(nz, ny * nxp)
-        return jnp.pad(a, ((0, nzb - nz), (0, Fr - ny * nxp)),
-                       constant_values=fill)
+def flat3d_center(kit: Kit, a: jax.Array, fill=0.0) -> jax.Array:
+    """Field [Nz,Ny,Nx] -> the margin-free (nzb, Fr) center layout."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    a = jnp.pad(a, ((0, 0), (0, 0), (mx, mx)), constant_values=fill)
+    a = a.reshape(nz, ny * nxp)
+    return jnp.pad(a, ((0, nzb - nz), (0, Fr - ny * nxp)),
+                   constant_values=fill)
 
-    diag = flat_center(op.diag.astype(jnp.float32), 0.0)
-    unk = flat_center(op.unknown, False)
+
+def flat3d_pad_center(kit: Kit, y: jax.Array, fill=0.0) -> jax.Array:
+    """(nzb, Fr) center layout -> (rows, cols) windowed layout (aligned pad:
+    _PRZ is sublane-aligned and pcf is a lane multiple)."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    return jnp.pad(y, ((_PRZ, _PRZ), (pcf, cols - pcf - Fr)),
+                   constant_values=fill)
+
+
+def flat3d_unx(kit: Kit, y: jax.Array) -> jax.Array:
+    """(nzb, Fr) center layout -> field [Nz,Ny,Nx]."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    return y[:nz, :ny * nxp].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
+
+
+def flat3d_unx_win(kit: Kit, x_p: jax.Array) -> jax.Array:
+    """(rows, cols) windowed layout -> field [Nz,Ny,Nx]."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    return (x_p[_PRZ:_PRZ + nz, pcf:pcf + ny * nxp]
+            .reshape(nz, ny, nxp)[:, :, mx:mx + nx])
+
+
+def matvec_M_pallas_3d_core(op, kit: Kit, x_p: jax.Array,
+                            w_stream: jax.Array | None = None) -> jax.Array:
+    """y = M x with x already in the (rows, cols) windowed layout; returns
+    the (nzb, Fr) center layout. Requires op.Wf/diag_f/unk_f (assemble
+    precomputes them when applicable) so a GMRES solve can chain matvecs
+    with zero layout conversions.
+
+    ``w_stream`` overrides the weight stack (default op.Wf): passing the
+    bf16 copy (op.Wf16) halves the dominant HBM stream. Only valid where a
+    ~4e-3-relative operator is acceptable — i.e. inside a preconditioner,
+    whose accuracy affects GMRES convergence speed but never the answer."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
+    W = op.Wf if w_stream is None else w_stream
 
     win = _BZ_MV + 2 * _PRZ
     with jax.enable_x64(False):  # see ns_step_pallas
@@ -724,16 +758,26 @@ def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
             out_shape=jax.ShapeDtypeStruct((nzb, Fr), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((win, cols), jnp.float32),
-                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
-                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), jnp.float32),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), W.dtype),
+                pltpu.VMEM((_CHUNK_MV3, _BZ_MV, Fr), W.dtype),
                 pltpu.SemaphoreType.DMA((3,)),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=48 * 1024 * 1024),
             interpret=INTERPRET,
-        )(x_p, op.Wf, diag, unk)
+        )(x_p, W, op.diag_f, op.unk_f)
+    return y
 
-    return y[:nz, :ny * nxp].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
+
+@jax.jit
+def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
+    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 3D f32).
+    Requires op.Wf (assemble pre-flattens it when applicable)."""
+    if op.diag_f is None:  # hand-built operator (tests/validation harness)
+        op = replace(op, diag_f=flat3d_center(kit, op.diag.astype(jnp.float32)),
+                     unk_f=flat3d_center(kit, op.unknown, False))
+    x_p = flat3d_x(kit, x)
+    return flat3d_unx(kit, matvec_M_pallas_3d_core(op, kit, x_p))
 
 
 # ---------------------------------------------------------------------------
@@ -1040,3 +1084,141 @@ def ard_step_auto(state: State, kit: Kit, dt, volume_loss_fraction=0.0) -> State
     if ard_applicable(kit):
         return ard_step_pallas(state, kit, dt, volume_loss_fraction)
     return ard_step_xla(state, kit, dt, volume_loss_fraction)
+
+
+# ---------------------------------------------------------------------------
+# GMRES Krylov-basis primitives (flat [m+1, R, 128] basis, streamed once)
+# ---------------------------------------------------------------------------
+#
+# The CGS2 orthogonalization in ops/gmres.py is two whole-basis contractions
+# per Arnoldi step. XLA runs both at ~17 GB/s on the (m+1, *field) basis
+# (scripts/profile_orthon.py: 6.2-6.9 ms per pass over a 110MB basis at the
+# 1M-node flagship shape; an MXU matvec on a flattened basis is no faster),
+# an order of magnitude below the HBM rate the streamed matvec kernels
+# sustain. These two kernels stream the basis exactly once per pass in
+# (m+1, _BR_GB, 128) blocks.
+
+_BR_GB = 256   # default sublane rows per grid step at L=128 lanes
+
+
+def gmres_basis_ok(kit, n: int) -> bool:
+    """Gate for the flat-basis GMRES kernels (any backend's kit).
+
+    Mirrors the other kernel gates: TPU only (Mosaic), f32 vectors only,
+    single device only (pallas_call has no SPMD partitioning rule), and
+    large enough that the pad/launch overhead is amortized.
+    """
+    if not HAVE_PALLAS or not _on_tpu():
+        return False
+    if getattr(kit, "multi_device", False):
+        return False
+    if kit.jdtype != jnp.float32:
+        return False
+    return n >= 100_000
+
+
+def basis_shape_ok(shape) -> bool:
+    """True when vectors of this shape can feed the basis kernels directly:
+    2D, lane dim a multiple of 128, both dims divisible by a usable block."""
+    if len(shape) != 2:
+        return False
+    Z, C = shape
+    return C % 128 == 0 and _basis_blocks(Z, C) is not None
+
+
+def _basis_blocks(Z: int, C: int, m1: int = 26):
+    """Largest (bz, bc) with bz | Z (multiple of 8), bc | C (multiple of
+    128) and the (m1, bz, bc) f32 block under ~3.5MB — the pipeline
+    double-buffers both inputs, and the default scoped-VMEM stack limit is
+    ~31MB (a 4.9MB block OOMed)."""
+    budget = (3.5 * 1024 * 1024) // (m1 * 4)
+    best = None
+    for bz in range(8, Z + 1, 8):
+        if Z % bz:
+            continue
+        for bc in range(128, C + 1, 128):
+            if C % bc or bz * bc > budget:
+                continue
+            if best is None or bz * bc > best[0] * best[1]:
+                best = (bz, bc)
+    return best
+
+
+def _basis_dots_kernel(V_ref, w_ref, out_ref):
+    zi = pl.program_id(1)  # z blocks iterate fastest (out revisited per c)
+
+    @pl.when(zi == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += jnp.sum(V_ref[...] * w_ref[...], axis=1, keepdims=True)
+
+
+def basis_dots_pallas(V2: jax.Array, w2: jax.Array, sdt) -> jax.Array:
+    """c[k] = <V2[k], w2> for the whole Krylov basis in one streamed pass.
+
+    V2: (M1, Z, C) f32, w2: (1, Z, C) f32 -> (M1,) in sdt, with (Z, C)
+    divisible by the chosen blocks. Zero padding rows contribute zero.
+    Per-lane partials accumulate in f32 on device; the final C-lane combine
+    runs in sdt on XLA (relative error ~1e-6 — far below what CGS2's full
+    reorthogonalization pass tolerates).
+    """
+    M1, Z, C = V2.shape
+    bz, bc = _basis_blocks(Z, C, M1)
+    with jax.enable_x64(False):  # see ns_step_pallas
+        out = pl.pallas_call(
+            _basis_dots_kernel,
+            grid=(C // bc, Z // bz),
+            in_specs=[
+                pl.BlockSpec((M1, bz, bc), lambda c, z: (0, z, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bz, bc), lambda c, z: (0, z, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M1, 1, bc), lambda c, z: (0, 0, c),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M1, 1, C), jnp.float32),
+            interpret=INTERPRET,
+        )(V2, w2)
+    return jnp.sum(out[:, 0, :].astype(sdt), axis=-1)
+
+
+def basis_norm_pallas(w2: jax.Array, sdt) -> jax.Array:
+    """||w2|| via a single streamed self-dot (XLA reductions over the same
+    array measured 3.2 ms at the 1M flagship shape vs ~0.1 ms here)."""
+    return jnp.sqrt(basis_dots_pallas(w2[None], w2[None], sdt)[0])
+
+
+def _basis_axpy_kernel(M1, c_ref, V_ref, w_ref, out_ref):
+    acc = w_ref[0]
+    for k in range(M1):
+        acc = acc - c_ref[k] * V_ref[k]
+    out_ref[0] = acc
+
+
+def basis_axpy_pallas(c: jax.Array, V2: jax.Array, w2: jax.Array) -> jax.Array:
+    """w2 - sum_k c[k] * V2[k] in one streamed pass over the basis.
+
+    c: (M1,), V2: (M1, Z, C) f32, w2: (1, Z, C) f32 -> (1, Z, C) f32.
+    Serves both the CGS recombination (c = projection coefficients) and the
+    solution update (w2 = 0, c = -y).
+    """
+    M1, Z, C = V2.shape
+    bz, bc = _basis_blocks(Z, C, M1)
+    with jax.enable_x64(False):  # see ns_step_pallas
+        out = pl.pallas_call(
+            functools.partial(_basis_axpy_kernel, M1),
+            grid=(C // bc, Z // bz),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # c
+                pl.BlockSpec((M1, bz, bc), lambda c, z: (0, z, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bz, bc), lambda c, z: (0, z, c),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bz, bc), lambda c, z: (0, z, c),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, Z, C), jnp.float32),
+            interpret=INTERPRET,
+        )(c.astype(jnp.float32), V2, w2)
+    return out

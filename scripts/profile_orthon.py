@@ -89,10 +89,81 @@ def main():
             h = h + coefs
         return w, h
 
+    @jax.jit
+    def cgs2_matmul(w, V):
+        # flatten to (m+1, N) and drive both passes through the MXU:
+        # dots = V2 @ w (tall matvec), recombine = coefs @ V2. precision
+        # HIGHEST keeps full-f32 passes (default would round through bf16)
+        V2 = V.reshape(m + 1, -1)
+        wv = w.ravel()
+        h = jnp.zeros(m + 1, jnp.float64)
+        for _ in range(2):
+            coefs = jax.lax.dot_general(
+                V2, wv, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(jnp.float64)
+            wv = wv - jax.lax.dot_general(
+                coefs.astype(jnp.float32), V2, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            h = h + coefs
+        return wv.reshape(w.shape), h
+
     timeit("MGS2 sequential (52 dot+axpy)", mgs2, w, V, reps=5)
     timeit("CGS2 f64-accum (4 contractions)", cgs2_f64, w, V, reps=5)
     timeit("CGS2 f32-accum (4 contractions)", cgs2_f32, w, V, reps=5)
     timeit("CGS2 2-stage accum", cgs2_2stage, w, V, reps=5)
+    timeit("CGS2 matmul (MXU, flat basis)", cgs2_matmul, w, V, reps=5)
+
+    # accuracy: matmul-dots vs f64 reference
+    c64 = jnp.sum((V * w).astype(jnp.float64), axis=taxes)
+    cmm = jax.lax.dot_general(
+        V.reshape(m + 1, -1), w.ravel(), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32).astype(jnp.float64)
+    print(f"rel err vs f64: matmul {float(jnp.max(jnp.abs(cmm - c64) / (jnp.abs(c64) + 1e-30))):.3e}",
+          flush=True)
+
+    # --- permanently-flat basis: V stored (m+1, N); only w is reshaped
+    V2 = jnp.asarray(V.reshape(m + 1, -1))
+
+    @jax.jit
+    def cgs2_flat(w, V2):
+        wv = w.ravel()
+        h = jnp.zeros(m + 1, jnp.float64)
+        for _ in range(2):
+            coefs = jax.lax.dot_general(
+                V2, wv, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).astype(jnp.float64)
+            wv = wv - jax.lax.dot_general(
+                coefs.astype(jnp.float32), V2, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            h = h + coefs
+        return wv.reshape(w.shape), h
+
+    @jax.jit
+    def cgs2_flat_sum(w, V2):
+        wv = w.ravel()
+        h = jnp.zeros(m + 1, jnp.float64)
+        for _ in range(2):
+            coefs = jnp.sum(V2 * wv, axis=1, dtype=jnp.float64)
+            wv = wv - jnp.tensordot(coefs.astype(jnp.float32), V2,
+                                    axes=([0], [0]))
+            h = h + coefs
+        return wv.reshape(w.shape), h
+
+    timeit("CGS2 flat-basis matmul", cgs2_flat, w, V2, reps=5)
+    timeit("CGS2 flat-basis sum/tensordot", cgs2_flat_sum, w, V2, reps=5)
+    timeit("  flat dots (MXU matvec)", jax.jit(
+        lambda w, V2: jax.lax.dot_general(
+            V2, w.ravel(), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)), w, V2, reps=5)
+    c = jnp.ones(m + 1, jnp.float32)
+    timeit("  flat recombine (MXU)", jax.jit(
+        lambda c, V2: jax.lax.dot_general(
+            c, V2, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)), c, V2, reps=5)
 
     # accuracy cross-check of the 2-stage reduction vs full f64
     c64 = jnp.sum((V * w).astype(jnp.float64), axis=taxes)

@@ -120,6 +120,32 @@ def run_ops(cfg, grid, kit, state):
 
         ds = slot_sum64(op.W, x64)
     res["ds_matvec"] = np.asarray(ds, np.float32)
+
+    # GMRES Krylov-basis kernels (dots/axpy over the windowed layout) vs
+    # their exact XLA forms on CPU — both feed the production 3D solve
+    geo = pk._geometry_3d(kit)
+    rows, cols = geo[10], geo[8]
+    rngb = np.random.default_rng(5)
+    Vb = jnp.asarray(rngb.standard_normal((9, rows, cols)).astype(np.float32))
+    wb = jnp.asarray(rngb.standard_normal((1, rows, cols)).astype(np.float32))
+    cb = jnp.asarray(rngb.standard_normal(9).astype(np.float32))
+    if pk.gmres_basis_ok(kit, state.C.size) and pk.basis_shape_ok((rows, cols)):
+        dots = pk.basis_dots_pallas(Vb, wb, jnp.float64)
+        axpy = pk.basis_axpy_pallas(cb, Vb, wb)[0]
+    else:
+        dots = jnp.sum(Vb.astype(jnp.float64) * wb.astype(jnp.float64),
+                       axis=(1, 2))
+        axpy = (wb - jnp.tensordot(cb, Vb, axes=([0], [0])))[0]
+    res["basis_dots"] = np.asarray(dots).astype(np.float32)
+    res["basis_axpy"] = np.asarray(axpy)
+
+    # full implicit transport step: on TPU this exercises the windowed-
+    # layout flat3d solve with the bf16-stream preconditioner; on CPU the
+    # XLA basis path. Both are f64-residual-controlled to the same tol,
+    # so the solutions agree far below the 1e-5 gate.
+    s7, _res_step = jax.jit(lambda s, o, k: ai.implicit_step(s, o, k, 30.0))(
+        state, op, kit)
+    res["implicit_C"] = np.asarray(s7.C)
     return res
 
 

@@ -242,3 +242,62 @@ def test_implicit_step_ds_refine_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(s_ds.C), np.asarray(s_ref.C),
                                rtol=5e-6, atol=5e-8)
     assert float(res_ds) < 1e-5
+
+
+def test_basis_kernels_interpret_match_xla():
+    """Flat-basis GMRES primitives (dots + axpy) vs their XLA forms."""
+    rng = np.random.default_rng(3)
+    M1, R, L = 9, pk._BR_GB * 2, 128
+    V2 = jnp.asarray(rng.normal(size=(M1, R, L)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(1, R, L)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=M1), jnp.float64)
+
+    pk.INTERPRET = True
+    try:
+        dots = pk.basis_dots_pallas(V2, w2, jnp.float64)
+        axpy = pk.basis_axpy_pallas(c, V2, w2)
+    finally:
+        pk.INTERPRET = False
+
+    dots_ref = jnp.sum(V2.astype(jnp.float64) * w2.astype(jnp.float64),
+                       axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(dots), np.asarray(dots_ref),
+                               rtol=2e-6, atol=1e-3)
+    axpy_ref = w2 - jnp.tensordot(c.astype(jnp.float32), V2,
+                                  axes=([0], [0]))[None]
+    np.testing.assert_allclose(np.asarray(axpy), np.asarray(axpy_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gmres_flat_kernels_interpret_matches_default():
+    """gmres(flat_kernels=True) through the interpreter reproduces the
+    default path's solution on an SPD system with a non-flat field shape."""
+    from pd_mg_pin_corrosion_tpu.ops.gmres import gmres
+
+    rng = np.random.default_rng(7)
+    n = 96
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A_np = (Q @ np.diag(np.linspace(1.0, 40.0, n)) @ Q.T).astype(np.float32)
+    x_true = rng.normal(size=n).astype(np.float32)
+    b = jnp.asarray((A_np @ x_true).reshape(12, 8))   # 2D field shape
+    Amat = jnp.asarray(A_np)
+
+    def Aop(v):
+        return (Amat @ v.ravel()).reshape(v.shape)
+
+    x_ref, (res_ref, _) = gmres(Aop, b, jnp.zeros_like(b), tol=1e-5,
+                                restart=20, maxiter=200)
+
+    pk.INTERPRET = True
+    try:
+        x_fl, (res_fl, _) = gmres(Aop, b, jnp.zeros_like(b), tol=1e-5,
+                                  restart=20, maxiter=200,
+                                  flat_kernels=True)
+    finally:
+        pk.INTERPRET = False
+
+    assert float(res_fl) < 1e-5
+    np.testing.assert_allclose(np.asarray(x_fl).ravel(), x_true,
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(x_fl), np.asarray(x_ref),
+                               rtol=5e-4, atol=5e-4)
