@@ -29,6 +29,7 @@ _IO_KEYS = frozenset({
     "flow_max_iters", "flow_max_iters_resolve", "flow_output_stride",
     "corrosion_steps_per_check", "dissolution_batch",
     "implicit_fused_chunk", "coupled_fused_cycles",
+    "coupled_launch_steps", "coupled_launch_flow_iters",
     # snapshot encoding: pure IO, no bearing on state compatibility
     "vtk_binary",
 })

@@ -191,6 +191,14 @@ class Config:
     # skipped (telemetry aggregated); needs implicit_output_every > 1e6,
     # like implicit_fused_chunk. 0 = off.
     coupled_fused_cycles: int = 0
+    # Per-execution work budgets for the fused-cycles chunk (deadline
+    # safety at large node counts: the TPU relay kills executions past
+    # ~2 min). The chunk exits at the first CYCLE BOUNDARY after either
+    # budget is crossed and the host re-launches, so semantics are
+    # unchanged (cycles never split mid-flight; one cycle of overshoot is
+    # the sizing margin). 0 = uncapped.
+    coupled_launch_steps: int = 0        # implicit steps per execution
+    coupled_launch_flow_iters: int = 0   # flow iterations per execution
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the
     # reference's vtk_writer.cpp), 1 = VTK XML appended-raw binary (~6x
     # smaller, ~50x faster serialization; a 1M-node ASCII VTI is ~130MB
@@ -232,6 +240,7 @@ class Config:
             "flow_output_stride", "flow_max_iters_resolve",
             "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
             "implicit_fused_chunk", "coupled_fused_cycles",
+            "coupled_launch_steps", "coupled_launch_flow_iters",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

@@ -161,7 +161,9 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
 @partial(jax.jit, static_argnames=("max_cycles", "max_inner", "flow_cap"))
 def coupled_cycles_chunk(state: State, kit, t0, total_steps0, T_final,
                          batch, diag_every, need_flow0,
-                         max_cycles: int, max_inner: int, flow_cap: int):
+                         max_cycles: int, max_inner: int, flow_cap: int,
+                         step_cap=jnp.asarray(2**30, jnp.int32),
+                         flow_iter_cap=jnp.asarray(2**30, jnp.int32)):
     """Up to ``max_cycles`` FULL coupling cycles fused in ONE device
     execution: [flow re-solve if needed] -> assemble -> implicit steps to
     the dissolution exit -> phase change, all inside a lax.while_loop —
@@ -202,8 +204,13 @@ def coupled_cycles_chunk(state: State, kit, t0, total_steps0, T_final,
         return st, jnp.asarray(0, jnp.int32), eps0, jnp.asarray(False)
 
     def cycle_cond(c):
+        # step_cap / flow_iter_cap bound ONE device execution (deadline
+        # safety, cf. implicit_inner_chunk's launch_cap): the chunk stops
+        # at the first cycle boundary past either budget and the host
+        # re-launches, so the cycle sequence is unchanged.
         return ((c["cycles"] < max_cycles) & (c["t"] < T_final)
-                & c["any_solid"] & ~c["diverged"])
+                & c["any_solid"] & ~c["diverged"]
+                & (c["steps"] < step_cap) & (c["flow_iters"] < flow_iter_cap))
 
     def cycle_body(c):
         state = c["state"]
@@ -406,6 +413,7 @@ class CoupledSolver:
 
         t_corr = 0.0
         cycle = 0
+        ckpt_cycle = 0  # cycle count at the last fused-branch checkpoint
 
         # checkpoint/resume (new capability)
         from .checkpoint import (cfg_items_json, fingerprint,
@@ -425,6 +433,7 @@ class CoupledSolver:
             self.total_implicit_steps = meta.get("total_implicit_steps", 0)
             self.total_dissolved = meta.get("total_dissolved", 0)
             cycle = meta.get("cycle", 0)
+            ckpt_cycle = cycle
             # continue (not restart) the CSV curves and PVD collections
             self._resume_csv(cfg, t_corr)
             n_sim = self.writer.load_pvd(f"{cfg.output_dir}/simulation.pvd",
@@ -465,6 +474,12 @@ class CoupledSolver:
         flow_cap_fused = (cfg.flow_max_iters_resolve
                           if cfg.flow_max_iters_resolve > 0
                           else min(cfg.flow_max_iters, 10000))
+        fused_step_cap = jnp.asarray(
+            cfg.coupled_launch_steps if cfg.coupled_launch_steps > 0
+            else 2**30, jnp.int32)
+        fused_flow_cap = jnp.asarray(
+            cfg.coupled_launch_flow_iters if cfg.coupled_launch_flow_iters > 0
+            else 2**30, jnp.int32)
 
         while t_corr < cfg.T_final:
             if fused_cycles > 0 and cycle >= 1:
@@ -475,7 +490,8 @@ class CoupledSolver:
                     max(cfg.diagnostic_every, 1),
                     jnp.asarray(bool(need_flow_solve)),
                     fused_cycles, cfg.corrosion_steps_per_check,
-                    flow_cap_fused)
+                    flow_cap_fused,
+                    step_cap=fused_step_cap, flow_iter_cap=fused_flow_cap)
                 n_cyc = int(out["cycles"])  # fences the chunk
                 self._phase("coupled_chunk", t_ph)
                 state = out["state"]
@@ -505,7 +521,12 @@ class CoupledSolver:
                       f"{n_dissolved} dissolved, t={t_corr:.1f} s "
                       f"({t_corr / 3600.0:.2f} h) ===")
 
-                if cfg.checkpoint_every and n_cyc > 0:
+                # one checkpoint per >= checkpoint_every cycles (capped
+                # launches can return far fewer cycles than fused_cycles;
+                # a 1M-node checkpoint per launch would dominate IO)
+                if (cfg.checkpoint_every and n_cyc > 0
+                        and cycle - ckpt_cycle >= cfg.checkpoint_every):
+                    ckpt_cycle = cycle
                     save_checkpoint(
                         f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                         {"cycle": cycle,

@@ -272,7 +272,16 @@ def ns_step_auto(state: State, kit: Kit, dt) -> State:
 # ~178 3D slots cost only ~38 distinct rolls per field per block, and slots
 # accumulate in exact stencil order — bit-identical to the XLA path.
 
-_PRZ = 8     # z margin (sublane-aligned, >= mext)
+# z margin of the windowed layout (sublane-aligned, >= mext). 8 is NOT
+# just conservative padding — it is load-bearing for Mosaic's register
+# allocator: _PRZ=4 (a 16-row window, still 8-aligned DMA since windows
+# start at i*_BZ) would cut the per-group roll work by a third, but the
+# center/dk slices then start at rows 4+dk (vs 8+dk), and the measured
+# result at the 1M production geometry is 271.6M of "register allocator
+# spill slots" vs the 128M VMEM budget (the PRZ=8 kernel fits at ~13 ms/
+# step). Third liveness-blocked variant of this kernel, after the
+# momentum-convection factoring and the VMEM window re-slice (ROADMAP).
+_PRZ = 8
 # z rows per grid step. Larger blocks amortize the halo DMA (a window of
 # _BZ + 2*_PRZ planes serves _BZ planes of output) and the per-group lane
 # rolls, which act on the whole window — but Mosaic's live ranges for the

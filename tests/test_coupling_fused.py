@@ -71,6 +71,39 @@ def test_coupled_cycles_chunk_matches_host_loop(tmp_path):
                                np.asarray(final_h.vel), rtol=0, atol=1e-12)
 
 
+def test_coupled_cycles_launch_caps_match_host(tmp_path):
+    """coupled_launch_steps / coupled_launch_flow_iters bound ONE device
+    execution of the fused-cycles chunk (relay-deadline safety at 1M-node
+    scale); the host re-launches at cycle boundaries, so the trajectory,
+    CSVs, flow-solve cadence and final state must be unchanged."""
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    _, _, solver_h, final_h = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.coupled_fused_cycles = 4
+    cfg_fused.coupled_launch_steps = 3   # << the 20-step cycle budget:
+    # forces budget exits mid-chunk so re-launch resumption is exercised
+    cfg_fused.coupled_launch_flow_iters = 50
+    _, _, solver_f, final_f = run_solver(cfg_fused)
+
+    assert solver_h.total_dissolved > 0
+    assert solver_f.total_dissolved == solver_h.total_dissolved
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+    assert solver_f.flow_solve_count == solver_h.flow_solve_count
+
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
+
+    np.testing.assert_array_equal(np.asarray(final_f.node_type),
+                                  np.asarray(final_h.node_type))
+    np.testing.assert_allclose(np.asarray(final_f.C),
+                               np.asarray(final_h.C), rtol=0, atol=1e-12)
+
+
 def test_fused_chunk_preserves_vti_cadence(tmp_path):
     """With per-step VTI output ENABLED, the fused chunk must exit at
     output boundaries and produce the same snapshot files (names = global
