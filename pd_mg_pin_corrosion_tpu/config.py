@@ -13,7 +13,12 @@ configs, so parsing those stays byte-identical):
 * ``precision``        — "f32" (TPU-fast) or "f64" (parity/validation).
 * ``checkpoint_every`` — write an orbax/npz checkpoint every N coupling
                          cycles (0 = off). New capability (reference has no
-                         checkpoint/resume, see SURVEY §5).
+                         checkpoint/resume, see SURVEY §5). Round-3 change:
+                         the fused-cycles branch now honors this cadence too
+                         (it previously checkpointed after every chunk; at 1M
+                         nodes per-launch checkpoints would dominate I/O), so
+                         capped launches can widen the resilience window to
+                         >= checkpoint_every cycles between saves.
 * ``resume_from``      — checkpoint directory/file to resume from.
 """
 
@@ -195,8 +200,12 @@ class Config:
     # safety at large node counts: the TPU relay kills executions past
     # ~2 min). The chunk exits at the first CYCLE BOUNDARY after either
     # budget is crossed and the host re-launches, so semantics are
-    # unchanged (cycles never split mid-flight; one cycle of overshoot is
-    # the sizing margin). 0 = uncapped.
+    # unchanged (cycles never split mid-flight). The budgets are soft by
+    # one worst-case cycle: a launch can overshoot coupled_launch_steps
+    # by up to corrosion_steps_per_check implicit steps AND
+    # coupled_launch_flow_iters by up to one full flow re-solve
+    # (flow_max_iters_resolve iterations) — subtract that worst case when
+    # sizing against the relay deadline. 0 = uncapped.
     coupled_launch_steps: int = 0        # implicit steps per execution
     coupled_launch_flow_iters: int = 0   # flow iterations per execution
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the

@@ -713,6 +713,7 @@ class CoupledSolver:
 
             t_ph = time.time()
             if cfg.checkpoint_every and cycle % cfg.checkpoint_every == 0:
+                ckpt_cycle = cycle  # keep the fused-branch gate in sync
                 save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                                 {"cycle": cycle,
                                  "total_implicit_steps": self.total_implicit_steps,
