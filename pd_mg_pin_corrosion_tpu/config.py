@@ -190,22 +190,23 @@ class Config:
     # execution — the dissolve-and-continue loop. Removes the per-event
     # host round-trip that dominates event-dense runs (AMR production).
     # The initial flow solve stays host-segmented (its uncapped iteration
-    # budget would exceed the TPU relay's single-execution deadline); size
-    # N so that N * (flow_max_iters_resolve * iter_time + steps * GMRES
-    # time) stays under ~2 minutes. Flow VTI snapshots inside a chunk are
-    # skipped (telemetry aggregated); needs implicit_output_every > 1e6,
-    # like implicit_fused_chunk. 0 = off.
+    # budget would exceed the TPU relay's single-execution deadline).
+    # Round 4: the chunk is a resumable micro-op state machine — it exits
+    # at every implicit_output_every VTI boundary and every
+    # flow_output_stride flow snapshot (the host writes the identical
+    # files the step-at-a-time loop would), carrying the assembled
+    # operator and mid-cycle position across launches; per-step output no
+    # longer disables fusing. 0 = off.
     coupled_fused_cycles: int = 0
     # Per-execution work budgets for the fused-cycles chunk (deadline
     # safety at large node counts: the TPU relay kills executions past
-    # ~2 min). The chunk exits at the first CYCLE BOUNDARY after either
-    # budget is crossed and the host re-launches, so semantics are
-    # unchanged (cycles never split mid-flight). The budgets are soft by
-    # one worst-case cycle: a launch can overshoot coupled_launch_steps
-    # by up to corrosion_steps_per_check implicit steps AND
-    # coupled_launch_flow_iters by up to one full flow re-solve
-    # (flow_max_iters_resolve iterations) — subtract that worst case when
-    # sizing against the relay deadline. 0 = uncapped.
+    # ~2 min). Round 4: budgets are checked between micro-ops, so a launch
+    # can split a cycle mid-flight and resume (semantics unchanged — the
+    # op is carried). Overshoot is at most ONE micro-op: one implicit step
+    # past coupled_launch_steps, or one full flow re-solve
+    # (<= flow_max_iters_resolve iterations — a re-solve is a single
+    # micro-op) past coupled_launch_flow_iters; subtract that when sizing
+    # against the relay deadline. 0 = uncapped.
     coupled_launch_steps: int = 0        # implicit steps per execution
     coupled_launch_flow_iters: int = 0   # flow iterations per execution
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the

@@ -158,33 +158,66 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
     return jax.lax.while_loop(cond, body, init)
 
 
+# Micro-op phases of the fused coupled loop (coupled_cycles_chunk)
+_PH_CYCLE_START = 0   # [flow re-solve if needed] + operator assemble
+_PH_INNER = 1         # one implicit corrosion step (op valid)
+_PH_PHASE_CHANGE = 2  # dissolution remask pending (cycle end)
+
+
 @partial(jax.jit, static_argnames=("max_cycles", "max_inner", "flow_cap"))
-def coupled_cycles_chunk(state: State, kit, t0, total_steps0, T_final,
+def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
                          batch, diag_every, need_flow0,
                          max_cycles: int, max_inner: int, flow_cap: int,
+                         phase0=jnp.asarray(0, jnp.int32),
+                         inner_k0=jnp.asarray(0, jnp.int32),
                          step_cap=jnp.asarray(2**30, jnp.int32),
-                         flow_iter_cap=jnp.asarray(2**30, jnp.int32)):
+                         flow_iter_cap=jnp.asarray(2**30, jnp.int32),
+                         output_every=jnp.asarray(2**30, jnp.int32),
+                         flow_stride=jnp.asarray(2**30, jnp.int32),
+                         flow_solves0=jnp.asarray(0, jnp.int32)):
     """Up to ``max_cycles`` FULL coupling cycles fused in ONE device
-    execution: [flow re-solve if needed] -> assemble -> implicit steps to
-    the dissolution exit -> phase change, all inside a lax.while_loop —
-    the "dissolve-and-continue" loop (round-3 roadmap #1). Removes the
-    per-event host round-trip that dominates event-dense runs (AMR
-    production: one dissolution event every few implicit steps).
+    execution — the "dissolve-and-continue" loop (round-3 roadmap #1),
+    restructured (round 4) as a resumable MICRO-OP state machine so a
+    launch can pause and resume at ANY point of a cycle:
+
+    each while_loop iteration executes exactly one micro-op —
+    ``_PH_CYCLE_START`` ([flow re-solve if needed] + assemble, the op
+    joins the carry), ``_PH_INNER`` (one implicit corrosion step), or
+    ``_PH_PHASE_CHANGE`` (dissolution remask) — and the loop exits
+    between micro-ops whenever a launch budget (``step_cap`` implicit
+    steps / ``flow_iter_cap`` flow iterations per execution; the TPU
+    relay kills executions past ~2 min) or a host-I/O boundary is hit:
+
+    * ``output_every``: the step landing on the global VTI cadence
+      (coupling.cpp:198-204) sets ``exit_output`` — the host writes the
+      snapshot at exactly that state (pre-phase-change when the same
+      step also ends the cycle, matching the reference's write-then-
+      phase-change order) and re-enters with the carried (op, phase,
+      inner_k). Fused cycles are output-cadence-exact; the round-3
+      implementation had to skip per-step VTI entirely.
+    * ``flow_stride``: a flow re-solve landing on the flow.pvd cadence
+      (coupling.cpp:139-147, host path's flow_output_stride) sets
+      ``exit_flow`` for the same treatment. ``flow_solves0`` is the
+      global pre-launch solve count the stride is computed against.
+
+    Budgets are now exact to one micro-op (the round-3 version could
+    overshoot by a full worst-case cycle — max_inner steps + flow_cap
+    iterations — because it only checked at cycle boundaries).
 
     Trajectory-identical to the host-driven path: the flow re-solve uses
     the same ``_solve_steady_segment`` body (reference check cadence,
     early-exit buffers, dt refresh — pd_ns.cpp:182-372) capped at
     ``flow_cap`` iterations (= the host path's flow_max_iters_resolve
-    cap), and the inner loop replicates ``implicit_inner_chunk``'s exit
-    conditions (coupling.cpp:174-213). Only host-side effects differ:
-    flow VTI snapshots inside a chunk are skipped (telemetry is
-    aggregated), so this engages only when per-step output is disabled.
+    cap), one inner step is ``_implicit_inner_core`` with
+    ``implicit_inner_chunk``'s exit conditions (coupling.cpp:174-213),
+    and the operator is assembled once per cycle and carried across
+    launch boundaries (re-assembling mid-cycle would change the frozen
+    coefficients the reference keeps for the whole cycle).
 
     The initial (cycle 1) flow solve must stay host-segmented — its
     uncapped flow_max_iters budget would exceed the single-execution
     deadline of the TPU relay.
     """
-    cfg = kit.cfg
     ops = ops_for(kit)
     f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     rows0 = jnp.zeros((max_cycles * max_inner, 5), f64)
@@ -203,65 +236,82 @@ def coupled_cycles_chunk(state: State, kit, t0, total_steps0, T_final,
     def no_flow(st):
         return st, jnp.asarray(0, jnp.int32), eps0, jnp.asarray(False)
 
-    def cycle_cond(c):
-        # step_cap / flow_iter_cap bound ONE device execution (deadline
-        # safety, cf. implicit_inner_chunk's launch_cap): the chunk stops
-        # at the first cycle boundary past either budget and the host
-        # re-launches, so the cycle sequence is unchanged.
-        return ((c["cycles"] < max_cycles) & (c["t"] < T_final)
-                & c["any_solid"] & ~c["diverged"]
-                & (c["steps"] < step_cap) & (c["flow_iters"] < flow_iter_cap))
-
-    def cycle_body(c):
-        state = c["state"]
-
+    def cycle_start(c):
         state, f_it, f_eps, f_div = jax.lax.cond(
-            c["need_flow"], flow_resolve, no_flow, state)
-
+            c["need_flow"], flow_resolve, no_flow, c["state"])
         vol_loss = volume_loss_fraction(state, kit)
-        op = ops.assemble(state, kit, vol_loss)
-
-        def inner_cond(ic):
-            _, t, k, dissolved, _, _, _ = ic
-            return (k < max_inner) & (t < T_final) & ~dissolved
-
-        def inner_body(ic):
-            st, t, k, _, max_res, rows, n_rows = ic
-            st, dt, n_below, res, diag = _implicit_inner_core(st, op, kit)
-            t = t + dt.astype(f64)
-            k = k + 1
-            dissolved = n_below >= batch
-            max_res = jnp.maximum(max_res, res.astype(f64))
-            write = ((total_steps0 + c["steps"] + k) % diag_every) == 0
-            row = jnp.stack([t] + [diag[i].astype(f64) for i in range(4)])
-            rows = jax.lax.cond(write, lambda r: r.at[n_rows].set(row),
-                                lambda r: r, rows)
-            n_rows = n_rows + write.astype(jnp.int32)
-            return (st, t, k, dissolved, max_res, rows, n_rows)
-
-        (state, t, k, _, max_res, rows, n_rows) = jax.lax.while_loop(
-            inner_cond, inner_body,
-            (state, c["t"], jnp.asarray(0, jnp.int32), jnp.asarray(False),
-             c["max_res"], c["rows"], c["n_rows"]))
-
-        state, n_dissolved = ops.apply_phase_change(state, kit)
-
+        new_op = ops.assemble(state, kit, vol_loss)
+        flow_solves = c["flow_solves"] + (f_it > 0).astype(jnp.int32)
+        # host path writes flow VTI when (count - 1) % stride == 0 after
+        # incrementing; assemble doesn't touch state, so exiting after it
+        # hands the host the identical post-solve snapshot state
+        gcount = flow_solves0 + flow_solves
+        exit_flow = (f_it > 0) & (((gcount - 1) % flow_stride) == 0)
         return {
-            "state": state, "t": t, "steps": c["steps"] + k,
-            "rows": rows, "n_rows": n_rows,
-            "need_flow": n_dissolved > 0,
-            "cycles": c["cycles"] + 1,
-            "dissolved": c["dissolved"] + n_dissolved.astype(jnp.int32),
+            **c, "state": state, "op": new_op,
+            "phase": jnp.asarray(_PH_INNER, jnp.int32),
+            "inner_k": jnp.asarray(0, jnp.int32),
+            "need_flow": jnp.asarray(False),
             "flow_iters": c["flow_iters"] + f_it,
-            "flow_solves": c["flow_solves"] + (f_it > 0).astype(jnp.int32),
+            "flow_solves": flow_solves,
             "eps_last": jnp.where(f_it > 0, f_eps, c["eps_last"]),
             "diverged": c["diverged"] | f_div,
+            "exit_flow": exit_flow,
+        }
+
+    def inner_step(c):
+        state, dt, n_below, res, diag = _implicit_inner_core(
+            c["state"], c["op"], kit)
+        t = c["t"] + dt.astype(f64)
+        steps = c["steps"] + 1
+        inner_k = c["inner_k"] + 1
+        dissolved = n_below >= batch
+        max_res = jnp.maximum(c["max_res"], res.astype(f64))
+        gstep = total_steps0 + steps
+        write = (gstep % diag_every) == 0
+        row = jnp.stack([t] + [diag[i].astype(f64) for i in range(4)])
+        rows = jax.lax.cond(write, lambda r: r.at[c["n_rows"]].set(row),
+                            lambda r: r, c["rows"])
+        inner_done = dissolved | (inner_k >= max_inner) | (t >= T_final)
+        return {
+            **c, "state": state, "t": t, "steps": steps,
+            "inner_k": inner_k, "rows": rows,
+            "n_rows": c["n_rows"] + write.astype(jnp.int32),
             "max_res": max_res,
+            "phase": jnp.where(inner_done, _PH_PHASE_CHANGE, _PH_INNER)
+            .astype(jnp.int32),
+            "exit_output": (gstep % output_every) == 0,
+        }
+
+    def phase_change(c):
+        state, n_dissolved = ops.apply_phase_change(c["state"], kit)
+        return {
+            **c, "state": state,
+            "phase": jnp.asarray(_PH_CYCLE_START, jnp.int32),
+            "cycles": c["cycles"] + 1,
+            "dissolved": c["dissolved"] + n_dissolved.astype(jnp.int32),
+            "need_flow": n_dissolved > 0,
             "any_solid": jnp.any(state.node_type == SOLID_MG),
         }
 
+    def cond(c):
+        # a pending mid-cycle phase (op carried) must be allowed to finish
+        # even past T_final — the reference applies phase change after the
+        # inner loop unconditionally (coupling.cpp:256)
+        more = ((c["cycles"] < max_cycles) & c["any_solid"] & ~c["diverged"]
+                & ((c["t"] < T_final) | (c["phase"] != _PH_CYCLE_START)))
+        budget = (c["steps"] < step_cap) & (c["flow_iters"] < flow_iter_cap)
+        return more & budget & ~c["exit_output"] & ~c["exit_flow"]
+
+    def body(c):
+        c = dict(c, exit_output=jnp.asarray(False), exit_flow=jnp.asarray(False))
+        return jax.lax.switch(c["phase"],
+                              [cycle_start, inner_step, phase_change], c)
+
     init = {
-        "state": state, "t": jnp.asarray(t0, f64),
+        "state": state, "op": op, "t": jnp.asarray(t0, f64),
+        "phase": jnp.asarray(phase0, jnp.int32),
+        "inner_k": jnp.asarray(inner_k0, jnp.int32),
         "steps": jnp.asarray(0, jnp.int32),
         "rows": rows0, "n_rows": jnp.asarray(0, jnp.int32),
         "need_flow": jnp.asarray(need_flow0),
@@ -273,8 +323,10 @@ def coupled_cycles_chunk(state: State, kit, t0, total_steps0, T_final,
         "diverged": jnp.asarray(False),
         "max_res": jnp.asarray(0.0, f64),
         "any_solid": jnp.asarray(True),
+        "exit_output": jnp.asarray(False),
+        "exit_flow": jnp.asarray(False),
     }
-    return jax.lax.while_loop(cycle_cond, cycle_body, init)
+    return jax.lax.while_loop(cond, body, init)
 
 
 @partial(jax.jit, static_argnames=("n_steps",))
@@ -466,11 +518,12 @@ class CoupledSolver:
         # Fused dissolve-and-continue mode (coupled_fused_cycles > 0): after
         # the host-driven first cycle (uncapped initial flow solve), run
         # whole [flow -> assemble -> step-to-dissolution -> phase-change]
-        # cycles on device, coupled_fused_cycles per execution. Requires the
-        # same conditions as the fused implicit chunk (no per-step VTI).
+        # cycles on device, coupled_fused_cycles per execution. The round-4
+        # micro-op state machine exits at every VTI/flow-snapshot boundary
+        # and at exact launch budgets, carrying (op, phase, inner_k) across
+        # launches — per-step output no longer disables fusing.
         fused_cycles = (int(cfg.coupled_fused_cycles)
-                        if cfg.use_implicit
-                        and cfg.implicit_output_every > 10**6 else 0)
+                        if cfg.use_implicit else 0)
         flow_cap_fused = (cfg.flow_max_iters_resolve
                           if cfg.flow_max_iters_resolve > 0
                           else min(cfg.flow_max_iters, 10000))
@@ -480,21 +533,42 @@ class CoupledSolver:
         fused_flow_cap = jnp.asarray(
             cfg.coupled_launch_flow_iters if cfg.coupled_launch_flow_iters > 0
             else 2**30, jnp.int32)
+        fused_out_every = jnp.asarray(
+            min(max(cfg.implicit_output_every, 1), 2**30), jnp.int32)
+        fused_flow_stride = jnp.asarray(
+            max(cfg.flow_output_stride, 1), jnp.int32)
+        fused_phase = 0   # micro-op resume point (carried across launches)
+        fused_inner_k = 0
+        fused_op = None   # operator carried across launch boundaries
 
-        while t_corr < cfg.T_final:
+        while t_corr < cfg.T_final or fused_phase != 0:
             if fused_cycles > 0 and cycle >= 1:
+                if fused_op is None:
+                    # carry template for the first launch: a throwaway
+                    # assemble (phase 0 rebuilds it on device before use)
+                    fused_op = assemble_operator(
+                        state, kit, volume_loss_fraction(state, kit))
                 t_ph = time.time()
                 out = coupled_cycles_chunk(
-                    state, kit, t_corr, self.total_implicit_steps,
+                    state, kit, fused_op, t_corr, self.total_implicit_steps,
                     cfg.T_final, max(cfg.dissolution_batch, 1),
                     max(cfg.diagnostic_every, 1),
                     jnp.asarray(bool(need_flow_solve)),
                     fused_cycles, cfg.corrosion_steps_per_check,
                     flow_cap_fused,
-                    step_cap=fused_step_cap, flow_iter_cap=fused_flow_cap)
+                    phase0=jnp.asarray(fused_phase, jnp.int32),
+                    inner_k0=jnp.asarray(fused_inner_k, jnp.int32),
+                    step_cap=fused_step_cap, flow_iter_cap=fused_flow_cap,
+                    output_every=fused_out_every,
+                    flow_stride=fused_flow_stride,
+                    flow_solves0=jnp.asarray(self.flow_solve_count,
+                                             jnp.int32))
                 n_cyc = int(out["cycles"])  # fences the chunk
                 self._phase("coupled_chunk", t_ph)
                 state = out["state"]
+                fused_op = out["op"]
+                fused_phase = int(out["phase"])
+                fused_inner_k = int(out["inner_k"])
                 t_corr = float(out["t"])
                 cycle += n_cyc
                 k = int(out["steps"])
@@ -514,6 +588,14 @@ class CoupledSolver:
                 for r in np.asarray(out["rows"])[:int(out["n_rows"])]:
                     self._write_diagnostics(cfg, float(r[0]),
                                             (r[1], r[2], r[3], r[4]))
+                # host-I/O boundary exits: the state is exactly the one the
+                # step-at-a-time loop would snapshot (same frame numbering)
+                if bool(out["exit_output"]):
+                    self._write_state(cfg, grid, state, "corr", t_corr,
+                                      self.writer)
+                if bool(out["exit_flow"]):
+                    self._write_state(cfg, grid, state, "flow", t_corr,
+                                      self.flow_writer)
                 print(f"=== Fused chunk: {n_cyc} cycles, {k} implicit steps, "
                       f"{int(out['flow_iters'])} flow iters in "
                       f"{int(out['flow_solves'])} re-solves "
@@ -521,10 +603,12 @@ class CoupledSolver:
                       f"{n_dissolved} dissolved, t={t_corr:.1f} s "
                       f"({t_corr / 3600.0:.2f} h) ===")
 
-                # one checkpoint per >= checkpoint_every cycles (capped
-                # launches can return far fewer cycles than fused_cycles;
-                # a 1M-node checkpoint per launch would dominate IO)
-                if (cfg.checkpoint_every and n_cyc > 0
+                # one checkpoint per >= checkpoint_every cycles, and only at
+                # cycle boundaries (a mid-cycle save would lose the carried
+                # op/phase/inner_k on resume; capped launches can return far
+                # fewer cycles than fused_cycles — a 1M-node checkpoint per
+                # launch would dominate IO)
+                if (cfg.checkpoint_every and n_cyc > 0 and fused_phase == 0
                         and cycle - ckpt_cycle >= cfg.checkpoint_every):
                     ckpt_cycle = cycle
                     save_checkpoint(

@@ -66,16 +66,26 @@ class _MT19937Stream:
         return y & 0xFFFFFFFF
 
     def uniform_int(self, b: int) -> int:
-        """uniform int in [0, b] via libstdc++-style downscaling rejection."""
+        """uniform int in [0, b], bit-exact with libstdc++ (GCC >= 11).
+
+        For a 32-bit generator libstdc++ uses Lemire's nearly-divisionless
+        downscaling (uniform_int_dist.h _S_nd: 64-bit product, low-word
+        threshold rejection, high word as result) — NOT the classic
+        two-division downscaling, which maps ~range/2^32 of draws to a
+        neighboring value and silently de-synchronized the precipitate
+        shuffle from the reference binary (round-4 diagnostic-parity
+        investigation)."""
         urange = b + 1
         if urange >= 2**32:
             return self.next_u32()
-        scaling = (2**32 - 1) // urange
-        past = urange * scaling
-        while True:
-            r = self.next_u32()
-            if r < past:
-                return r // scaling
+        product = self.next_u32() * urange
+        low = product & 0xFFFFFFFF
+        if low < urange:
+            threshold = (2**32 - urange) % urange
+            while low < threshold:
+                product = self.next_u32() * urange
+                low = product & 0xFFFFFFFF
+        return product >> 32
 
     def shuffle(self, arr: np.ndarray) -> None:
         """Bit-exact libstdc++ std::shuffle.

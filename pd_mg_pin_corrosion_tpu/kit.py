@@ -52,7 +52,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
-                 "mirror_group_offsets", "multi_device"],
+                 "mirror_group_offsets", "multi_device", "mesh"],
 )
 @dataclass(frozen=True)
 class Kit:
@@ -127,6 +127,11 @@ class Kit:
     # pallas_kernels.*_applicable) can route around single-device kernels
     # that have no SPMD partitioning rule (round-2 ADVICE, low).
     multi_device: bool = False
+    # the jax.sharding.Mesh the kit was sharded over (shard_kit). Static
+    # metadata (Mesh is hashable); lets dispatch route the hot kernels to
+    # the shard_map fast paths (parallel/shard_kernels) instead of the XLA
+    # SPMD fallbacks when the mesh is a real TPU mesh.
+    mesh: object = None
 
     # ------------------------------------------------------------------
     @property

@@ -163,8 +163,16 @@ def assemble(state: State, kit: Kit, volume_loss_fraction=0.0) -> ImplicitOperat
     else:
         Wf = diag_f = unk_f = Wf16 = None
 
-    return ImplicitOperator(W=W, diag=diag, unknown=unknown, Wf=Wf,
-                            diag_f=diag_f, unk_f=unk_f, Wf16=Wf16)
+    op = ImplicitOperator(W=W, diag=diag, unknown=unknown, Wf=Wf,
+                          diag_f=diag_f, unk_f=unk_f, Wf16=Wf16)
+    if Wf is None and kit.dim == 3:
+        # TPU mesh: the same pre-flatten, per shard (shard_map), so the
+        # sharded Pallas matvec streams local weight blocks directly
+        from ..parallel.shard_kernels import (finalize_op_sharded,
+                                              sharded_matvec_applicable)
+        if sharded_matvec_applicable(kit):
+            op = finalize_op_sharded(op, kit)
+    return op
 
 
 def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
@@ -179,6 +187,10 @@ def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
         return matvec_M_pallas(op, kit, x)
     if op.Wf is not None and matvec3d_applicable(kit):
         return matvec_M_pallas_3d(op, kit, x)
+    from ..parallel.shard_kernels import (matvec_M_sharded,
+                                          sharded_matvec_applicable)
+    if sharded_matvec_applicable(kit) and (kit.dim == 2 or op.Wf is not None):
+        return matvec_M_sharded(op, kit, x)
 
     x_p = kit.pad(x, 0.0)
     y = op.diag * x

@@ -201,26 +201,52 @@ def _ns_kernel(kit: Kit, nyb: int, nxr: int,
     vy_out[pl.ds(row0, _BY), :] = jnp.where(fluid, vy_new, vy_i)
 
 
-def _pad_aligned(a, ny, nx, nyb, nxr, fill=0.0):
-    """[ny, nx] -> [nyb + 2PR, PC + nxr + PC] with the interior at (PR, PC)."""
-    return jnp.pad(a, ((_PR, _PR + nyb - ny), (_PC, _PC + nxr - nx)),
+def _pad_aligned(a, ny, nx, nyb, nxr, fill=0.0, halo=None):
+    """[ny, nx] -> [nyb + 2PR, PC + nxr + PC] with the interior at (PR, PC).
+
+    ``halo``: optional (lo, hi) row slabs of height m <= _PR from the axial
+    neighbor shards (parallel/shard_kernels). They are placed contiguously
+    with the interior — lo at rows [_PR - m, _PR), hi at rows
+    [_PR + ny, _PR + ny + m) — exactly where the kernel's roll-based
+    neighbor views read rows beyond the local interior, so each shard's
+    block computes the same bonds the single-device kernel would.
+    """
+    if halo is None:
+        return jnp.pad(a, ((_PR, _PR + nyb - ny), (_PC, _PC + nxr - nx)),
+                       constant_values=fill)
+    lo, hi = halo
+    m = lo.shape[0]
+    a = jnp.concatenate([lo, a, hi], axis=0)
+    return jnp.pad(a, ((_PR - m, _PR + nyb - ny - m), (_PC, _PC + nxr - nx)),
                    constant_values=fill)
 
 
 @jax.jit
-def ns_step_pallas(state: State, kit: Kit, dt) -> State:
-    """Drop-in replacement for ops.ns.ns_step (2D f32 structured grids)."""
+def ns_step_pallas(state: State, kit: Kit, dt, halo=None) -> State:
+    """Drop-in replacement for ops.ns.ns_step (2D f32 structured grids).
+
+    ``halo``: optional dict of (lo, hi) axial-neighbor row slabs for
+    'rho', 'vx', 'vy', 'act' (see _pad_aligned) — supplied by the
+    shard_map wrapper (parallel/shard_kernels.ns_step_sharded) so the
+    kernel runs per-shard on a device mesh. The pressure halo is derived
+    from the rho halo (Tait EOS is pointwise)."""
     ny, nx, nyb, nxr, rows, cols = _geometry(kit)
 
     pressure = tait_pressure(state.rho, kit)
+    h = halo or {}
+
+    def p_halo():
+        lo, hi = h["rho"]
+        return (tait_pressure(lo, kit), tait_pressure(hi, kit))
 
     args = [
-        _pad_aligned(state.rho, ny, nx, nyb, nxr),
-        _pad_aligned(state.vel[..., 0], ny, nx, nyb, nxr),
-        _pad_aligned(state.vel[..., 1], ny, nx, nyb, nxr),
-        _pad_aligned(pressure, ny, nx, nyb, nxr),
+        _pad_aligned(state.rho, ny, nx, nyb, nxr, halo=h.get("rho")),
+        _pad_aligned(state.vel[..., 0], ny, nx, nyb, nxr, halo=h.get("vx")),
+        _pad_aligned(state.vel[..., 1], ny, nx, nyb, nxr, halo=h.get("vy")),
+        _pad_aligned(pressure, ny, nx, nyb, nxr,
+                     halo=p_halo() if "rho" in h else None),
         _pad_aligned((state.node_type != OUTSIDE).astype(jnp.float32),
-                     ny, nx, nyb, nxr),
+                     ny, nx, nyb, nxr, halo=h.get("act")),
     ]
     fluid = jnp.pad(state.node_type == FLUID,
                     ((0, nyb - ny), (0, nxr - nx)), constant_values=False)
@@ -249,11 +275,17 @@ def ns_step_pallas(state: State, kit: Kit, dt) -> State:
 
 
 def ns_step_auto(state: State, kit: Kit, dt) -> State:
-    """Pallas kernel when applicable, XLA stencil-shift otherwise."""
+    """Pallas kernel when applicable, XLA stencil-shift otherwise. On a TPU
+    device mesh the kernel runs per-shard under shard_map with ICI halo
+    exchange (parallel/shard_kernels); CPU meshes and small local slabs
+    keep the XLA path, which partitions under SPMD automatically."""
     if pallas_applicable(kit):
         return ns_step_pallas(state, kit, dt)
     if pallas_applicable_3d(kit):
         return ns_step_pallas_3d(state, kit, dt)
+    from .parallel.shard_kernels import ns_step_sharded, sharded_ns_applicable
+    if sharded_ns_applicable(kit):
+        return ns_step_sharded(state, kit, dt)
     return ns_step_xla(state, kit, dt)
 
 
@@ -453,31 +485,49 @@ def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
     vz_out[...] = jnp.where(fluid, v_new[2], v_i[2])
 
 
-def _flatten_3d(a, kit: Kit, nzb, Fr, pcf, fill=0.0):
-    """[Nz, Ny, Nx] -> [nzb + 2*PRZ, pcf + Fr + pcf] flattened layout."""
+def _flatten_3d(a, kit: Kit, nzb, Fr, pcf, fill=0.0, halo=None):
+    """[Nz, Ny, Nx] -> [nzb + 2*PRZ, pcf + Fr + pcf] flattened layout.
+
+    ``halo``: optional (lo, hi) z-plane slabs [m, Ny, Nx] from the axial
+    neighbor shards, placed contiguously with the interior in the z margin
+    (rows [_PRZ - m, _PRZ) and [_PRZ + nz, _PRZ + nz + m)) — where the
+    kernels' dk sublane views read beyond the local interior."""
     nz, ny, nx = kit.shape
     mx = kit.mext
+    zpad = (_PRZ, _PRZ + nzb - nz)
+    if halo is not None:
+        lo, hi = halo
+        m = lo.shape[0]
+        a = jnp.concatenate([lo, a, hi], axis=0)
+        nz = nz + 2 * m
+        zpad = (_PRZ - m, _PRZ + nzb - nz + m)
     a = jnp.pad(a, ((0, 0), (0, 0), (mx, mx)), constant_values=fill)
     a = a.reshape(nz, ny * (nx + 2 * mx))
     return jnp.pad(
-        a, ((_PRZ, _PRZ + nzb - nz), (pcf, pcf + Fr - a.shape[1])),
+        a, (zpad, (pcf, pcf + Fr - a.shape[1])),
         constant_values=fill)
 
 
 @jax.jit
-def ns_step_pallas_3d(state: State, kit: Kit, dt) -> State:
-    """Drop-in replacement for ops.ns.ns_step (3D f32 structured grids)."""
+def ns_step_pallas_3d(state: State, kit: Kit, dt, halo=None) -> State:
+    """Drop-in replacement for ops.ns.ns_step (3D f32 structured grids).
+
+    ``halo``: optional dict of (lo, hi) z-plane slabs for 'rho', 'vx',
+    'vy', 'vz', 'act' (see _flatten_3d), supplied by the shard_map wrapper
+    so the kernel runs per-shard on a z-sharded device mesh. Note the
+    kernel computes Tait pressure from the (halo'd) rho window itself."""
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
 
     pressure = tait_pressure(state.rho, kit)
+    h = halo or {}
 
     args = [
-        _flatten_3d(state.rho, kit, nzb, Fr, pcf),
-        _flatten_3d(state.vel[..., 0], kit, nzb, Fr, pcf),
-        _flatten_3d(state.vel[..., 1], kit, nzb, Fr, pcf),
-        _flatten_3d(state.vel[..., 2], kit, nzb, Fr, pcf),
+        _flatten_3d(state.rho, kit, nzb, Fr, pcf, halo=h.get("rho")),
+        _flatten_3d(state.vel[..., 0], kit, nzb, Fr, pcf, halo=h.get("vx")),
+        _flatten_3d(state.vel[..., 1], kit, nzb, Fr, pcf, halo=h.get("vy")),
+        _flatten_3d(state.vel[..., 2], kit, nzb, Fr, pcf, halo=h.get("vz")),
         _flatten_3d((state.node_type != OUTSIDE).astype(jnp.float32),
-                    kit, nzb, Fr, pcf),
+                    kit, nzb, Fr, pcf, halo=h.get("act")),
     ]
     fl = jnp.pad(state.node_type == FLUID, ((0, 0), (0, 0), (mx, mx)),
                  constant_values=False).reshape(nz, F)
@@ -565,11 +615,15 @@ def _matvec_kernel(kit: Kit, nxr: int,
 
 
 @jax.jit
-def matvec_M_pallas(op, kit: Kit, x: jax.Array) -> jax.Array:
-    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 2D f32)."""
+def matvec_M_pallas(op, kit: Kit, x: jax.Array, halo=None) -> jax.Array:
+    """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 2D f32).
+
+    ``halo``: optional (lo, hi) axial-neighbor row slabs of x for the
+    shard_map wrapper — W/diag/unknown are center-row quantities and need
+    no halo."""
     ny, nx, nyb, nxr, rows, cols = _geometry(kit)
 
-    x_p = _pad_aligned(x.astype(jnp.float32), ny, nx, nyb, nxr)
+    x_p = _pad_aligned(x.astype(jnp.float32), ny, nx, nyb, nxr, halo=halo)
     pad2 = ((0, nyb - ny), (0, nxr - nx))
     W = jnp.pad(op.W, ((0, 0),) + pad2)
     diag = jnp.pad(op.diag, pad2)
@@ -779,13 +833,16 @@ def matvec_M_pallas_3d_core(op, kit: Kit, x_p: jax.Array,
 
 
 @jax.jit
-def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array) -> jax.Array:
+def matvec_M_pallas_3d(op, kit: Kit, x: jax.Array, halo=None) -> jax.Array:
     """Fused y = M x (drop-in for ops.ard_implicit.matvec_M, 3D f32).
-    Requires op.Wf (assemble pre-flattens it when applicable)."""
+    Requires op.Wf (assemble pre-flattens it when applicable).
+
+    ``halo``: optional (lo, hi) z-plane slabs of x (shard_map wrapper)."""
+    nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
     if op.diag_f is None:  # hand-built operator (tests/validation harness)
         op = replace(op, diag_f=flat3d_center(kit, op.diag.astype(jnp.float32)),
                      unk_f=flat3d_center(kit, op.unknown, False))
-    x_p = flat3d_x(kit, x)
+    x_p = _flatten_3d(x.astype(jnp.float32), kit, nzb, Fr, pcf, halo=halo)
     return flat3d_unx(kit, matvec_M_pallas_3d_core(op, kit, x_p))
 
 

@@ -80,6 +80,7 @@ def shard_kit(kit, mesh: Mesh):
     return dataclasses.replace(
         kit,
         multi_device=True,  # static: routes dispatch off single-device kernels
+        mesh=mesh,          # lets dispatch pick the shard_map Pallas paths
         inlet_mask=put(kit.inlet_mask, P(AXIS, None)),
         outlet_mask=put(kit.outlet_mask, P(AXIS, None)),
         wall_mask=put(kit.wall_mask, P(AXIS, None)),

@@ -104,6 +104,51 @@ def test_coupled_cycles_launch_caps_match_host(tmp_path):
                                np.asarray(final_h.C), rtol=0, atol=1e-12)
 
 
+def test_coupled_cycles_preserves_vti_and_flow_cadence(tmp_path):
+    """With per-step VTI output AND a flow snapshot stride enabled, the
+    fused-cycles state machine must exit at both I/O boundaries and
+    produce the exact snapshot sets (names = frame numbers + times) of the
+    host-driven loop — round-3's implementation had to skip per-step VTI
+    (and all flow snapshots) entirely when coupled_fused_cycles was on."""
+    import os
+
+    def listing(cfg, prefix):
+        return sorted(f for f in os.listdir(cfg.output_dir)
+                      if f.startswith(prefix) and f.endswith(".vti"))
+
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    cfg_host.implicit_output_every = 5
+    cfg_host.flow_output_stride = 2
+    _, _, solver_h, final_h = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.implicit_output_every = 5
+    cfg_fused.flow_output_stride = 2
+    cfg_fused.coupled_fused_cycles = 3
+    _, _, solver_f, final_f = run_solver(cfg_fused)
+
+    assert solver_h.total_dissolved > 0
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+    assert solver_f.flow_solve_count == solver_h.flow_solve_count
+
+    host_corr = listing(cfg_host, "corr_")
+    host_flow = listing(cfg_host, "flow_")
+    assert host_corr, "cadence must actually produce corr snapshots"
+    assert len(host_flow) >= 2, "stride must actually produce flow snapshots"
+    assert listing(cfg_fused, "corr_") == host_corr
+    assert listing(cfg_fused, "flow_") == host_flow
+
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
+
+    np.testing.assert_array_equal(np.asarray(final_f.node_type),
+                                  np.asarray(final_h.node_type))
+
+
 def test_fused_chunk_preserves_vti_cadence(tmp_path):
     """With per-step VTI output ENABLED, the fused chunk must exit at
     output boundaries and produce the same snapshot files (names = global

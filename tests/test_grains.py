@@ -94,3 +94,17 @@ def test_grain_structure_bit_exact_vs_reference():
     assert g.n_grains == 26
     assert int(g.is_grain_boundary[solid].sum()) == 619
     assert int(g.is_precipitate[solid].sum()) == 33
+
+    # POSITION-level golden: node-for-node equality with the arrays the
+    # reference binary wrote to its state VTI on this config (extracted to
+    # tests/golden/grains_diagnostic_ref.npz). Counts alone missed a real
+    # defect in round 3: the pre-Lemire uniform_int emulation produced the
+    # right number of precipitates at 18 wrong positions, a ~1% volume-loss
+    # bias on this workload (GCC >= 11 downscales 32-bit draws with
+    # Lemire's multiply-shift, uniform_int_dist.h _S_nd, not the classic
+    # two-division map).
+    ref = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                               "grains_diagnostic_ref.npz"))
+    np.testing.assert_array_equal(g.grain_id.ravel(), ref["grain_id"])
+    np.testing.assert_array_equal(g.is_grain_boundary.ravel(), ref["is_gb"])
+    np.testing.assert_array_equal(g.is_precipitate.ravel(), ref["is_precip"])

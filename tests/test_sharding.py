@@ -84,6 +84,132 @@ def test_sharded_ard_and_implicit():
                                rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
+def test_sharded_coupled_run_matches_single_device(tmp_path):
+    """The PRODUCTION path under a mesh (round-3 VERDICT #1): a full
+    multi-cycle CoupledSolver.run — repeated steady flow solves, adaptive
+    implicit steps, real dissolution/phase change, diagnostics CSV — on
+    the 8-device mesh must reproduce the single-device trajectory. Same
+    jitted orchestrator, sharded inputs; XLA SPMD partitions every step.
+
+    time_s/floats compared at f64 reduction-roundoff tolerance (SPMD
+    reduction order differs from single-device), solid counts exactly."""
+    from pd_mg_pin_corrosion_tpu import grains as grains_mod
+    from pd_mg_pin_corrosion_tpu.coupling import CoupledSolver
+
+    cfg = small_cfg()
+    cfg.R_tube = 80.0e-6
+    cfg.c0 = 0.5
+    cfg.cfl_factor = 0.25
+    cfg.flow_conv_tol = 1.0e-4
+    cfg.flow_max_iters = 4000
+    cfg.gb_width_cells = 1
+    cfg.T_final = 10.0
+    cfg.corrosion_steps_per_check = 20
+    cfg.use_implicit = 1
+    cfg.implicit_output_every = 10**9
+    cfg.diagnostic_every = 1
+    cfg.compute_derived()
+
+    grid = pad_grid_axial(build_grid(cfg), 8)
+    g = grains_mod.generate(grid, cfg)
+
+    def run(out_dir, shard):
+        import copy
+        c = copy.deepcopy(cfg)
+        c.output_dir = str(out_dir)
+        kit = build_kit(grid, c)
+        state = initialize_state(grid, c, grains=g, dtype=kit.jdtype)
+        if shard:
+            mesh = make_mesh(8)
+            kit = shard_kit(kit, mesh)
+            state = shard_state(state, mesh)
+        solver = CoupledSolver()
+        final = solver.run(grid, state, kit, c)
+        rows = np.atleast_1d(np.genfromtxt(f"{c.output_dir}/diagnostics.csv",
+                                           delimiter=",", names=True))
+        return solver, final, rows
+
+    solver_1, final_1, rows_1 = run(tmp_path / "single", shard=False)
+    solver_8, final_8, rows_8 = run(tmp_path / "mesh", shard=True)
+
+    # the run exercised the full production machinery under the mesh
+    assert solver_1.total_dissolved > 0
+    assert solver_1.flow_solve_count >= 2  # dissolution triggered re-solves
+    assert solver_8.total_dissolved == solver_1.total_dissolved
+    assert solver_8.total_implicit_steps == solver_1.total_implicit_steps
+    assert solver_8.flow_solve_count == solver_1.flow_solve_count
+
+    assert len(rows_8) == len(rows_1)
+    np.testing.assert_array_equal(rows_8["solid_nodes"], rows_1["solid_nodes"])
+    for col in ("time_s", "pin_mass_loss_pct", "v_max", "C_max_fluid"):
+        np.testing.assert_allclose(rows_8[col], rows_1[col],
+                                   rtol=1e-9, atol=1e-14, err_msg=col)
+
+    np.testing.assert_array_equal(np.asarray(final_8.node_type),
+                                  np.asarray(final_1.node_type))
+    np.testing.assert_allclose(np.asarray(final_8.C), np.asarray(final_1.C),
+                               rtol=1e-9, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_sharded_fused_cycles_matches_single_device(tmp_path):
+    """The fused dissolve-and-continue device loop (coupled_fused_cycles)
+    under the mesh: whole [flow re-solve -> assemble -> implicit steps ->
+    phase change] cycles execute inside ONE sharded lax.while_loop."""
+    from pd_mg_pin_corrosion_tpu import grains as grains_mod
+    from pd_mg_pin_corrosion_tpu.coupling import CoupledSolver
+
+    cfg = small_cfg()
+    cfg.R_tube = 80.0e-6
+    cfg.c0 = 0.5
+    cfg.cfl_factor = 0.25
+    cfg.flow_conv_tol = 1.0e-4
+    cfg.flow_max_iters = 4000
+    cfg.gb_width_cells = 1
+    cfg.T_final = 10.0
+    cfg.corrosion_steps_per_check = 20
+    cfg.use_implicit = 1
+    cfg.implicit_output_every = 10**9
+    cfg.diagnostic_every = 1
+    cfg.coupled_fused_cycles = 3
+    cfg.compute_derived()
+
+    grid = pad_grid_axial(build_grid(cfg), 8)
+    g = grains_mod.generate(grid, cfg)
+
+    def run(out_dir, shard):
+        import copy
+        c = copy.deepcopy(cfg)
+        c.output_dir = str(out_dir)
+        kit = build_kit(grid, c)
+        state = initialize_state(grid, c, grains=g, dtype=kit.jdtype)
+        if shard:
+            mesh = make_mesh(8)
+            kit = shard_kit(kit, mesh)
+            state = shard_state(state, mesh)
+        solver = CoupledSolver()
+        final = solver.run(grid, state, kit, c)
+        rows = np.atleast_1d(np.genfromtxt(f"{c.output_dir}/diagnostics.csv",
+                                           delimiter=",", names=True))
+        return solver, final, rows
+
+    solver_1, final_1, rows_1 = run(tmp_path / "single", shard=False)
+    solver_8, final_8, rows_8 = run(tmp_path / "mesh", shard=True)
+
+    assert solver_1.total_dissolved > 0
+    assert solver_8.total_dissolved == solver_1.total_dissolved
+    assert solver_8.total_implicit_steps == solver_1.total_implicit_steps
+
+    assert len(rows_8) == len(rows_1)
+    np.testing.assert_array_equal(rows_8["solid_nodes"], rows_1["solid_nodes"])
+    for col in ("time_s", "pin_mass_loss_pct", "v_max", "C_max_fluid"):
+        np.testing.assert_allclose(rows_8[col], rows_1[col],
+                                   rtol=1e-9, atol=1e-14, err_msg=col)
+    np.testing.assert_array_equal(np.asarray(final_8.node_type),
+                                  np.asarray(final_1.node_type))
+
+
 def test_sharded_3d_step_matches_single_device():
     """3D paths under the mesh: scan-over-stencil bond sums (dynamic-slice
     neighbor views) and the one-hot MXU wall mirror, sharded along z."""
