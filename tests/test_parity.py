@@ -9,9 +9,14 @@ nodes across 6 coupling cycles.
 This rebuild reproduces the trajectory (gs_parity mode: the reference's
 in-place sequential outlet/smoothing sweeps are replayed exactly):
   time_s / solid_nodes                     exact
-  pin_mass_loss_pct, v_max, C_max_fluid    <= 2e-6 relative
-The residual differences are reduction-order rounding between serial C++
-sums and XLA reductions.
+  pin_mass_loss_pct, v_max, C_max_fluid    <= 1e-6 relative (BASELINE.md
+                                           target)
+Measured state (round 4, after the bit-exact grain-RNG fix): the entire
+diagnostics.csv is BYTE-IDENTICAL to the reference binary's. The asserts
+keep 1e-6 of headroom so a future XLA version's 1-ulp drift doesn't read
+as a regression; for scale, the reference binary rebuilt with FMA enabled
+(-march=x86-64-v3) disagrees with its own -O2 build by 1e-1 on this
+workload (docs/runs/parity_floor/REPORT.md).
 """
 
 import numpy as np
@@ -50,7 +55,7 @@ def test_coupled_run_matches_reference_binary(tmp_path):
     np.testing.assert_array_equal(ours["solid_nodes"], ref["solid_nodes"])
     np.testing.assert_allclose(ours["time_s"], ref["time_s"], rtol=1e-9)
     np.testing.assert_allclose(ours["pin_mass_loss_pct"],
-                               ref["pin_mass_loss_pct"], rtol=2e-6)
-    np.testing.assert_allclose(ours["v_max"], ref["v_max"], rtol=2e-6)
+                               ref["pin_mass_loss_pct"], rtol=1e-6)
+    np.testing.assert_allclose(ours["v_max"], ref["v_max"], rtol=1e-6)
     np.testing.assert_allclose(ours["C_max_fluid"], ref["C_max_fluid"],
-                               rtol=2e-6)
+                               rtol=1e-6)
