@@ -48,7 +48,7 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
         "gs_smo_idx", "gs_smo_nbr", "gs_smo_valid",
         "gs_smo_near_in", "gs_smo_near_out",
         "wm_src_cols", "wm_dst_cols", "wm_fb_src", "wm_fb_dst",
-        "wm_G", "wm_S", "wm_colmask",
+        "wm_G", "wm_S", "wm_colmask", "actconv3d",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
                  "vol", "dtype", "inlet_rows", "outlet_rows",
@@ -104,6 +104,13 @@ class Kit:
     wm_G: jax.Array              # [XS, P] f32 one-hot (column p <- src col)
     wm_S: jax.Array              # [P, XS] f32 one-hot (row p -> dst col)
     wm_colmask: jax.Array        # [XS] f32, 1.0 at mirrored wall columns
+    # Static pure-act stencil convolutions for the 3D fused NS kernel
+    # (pallas_kernels._ns_kernel_3d): [4, Nz, Ny, Nx] f32 = (B2, Bx, By,
+    # Bz) with B2 = sum_s (vol_s/xi_s^2) act(.+off_s) and
+    # B_d = sum_s (e_sd vol_s/xi_s) act(.+off_s). act = (node_type !=
+    # OUTSIDE) is a BUILD-TIME constant — dissolution flips SOLID->FLUID,
+    # both active — so these never change over a run. Empty [(0,)] for 2D.
+    actconv3d: jax.Array
 
     # --- static metadata ---
     cfg: Config
@@ -382,6 +389,32 @@ def _subcell_G_3d(cfg: Config, grid, dst_cols: np.ndarray, XS: int) -> np.ndarra
     return G
 
 
+def _actconv3d_np(nt: np.ndarray, st, mext: int) -> np.ndarray:
+    """Host precompute of Kit.actconv3d (see the field comment).
+
+    Scalar coefficients are formed in f64 then rounded once to f32 —
+    matching the trace-time Python-float -> f32-immediate path of the
+    kernel's et/c2 constants; accumulation is sequential f32 in stencil
+    order."""
+    act = (nt != OUTSIDE).astype(np.float32)
+    nz, ny, nx = nt.shape
+    ap = np.zeros((nz + 2 * mext, ny + 2 * mext, nx + 2 * mext), np.float32)
+    ap[mext:mext + nz, mext:mext + ny, mext:mext + nx] = act
+    B = np.zeros((4, nz, ny, nx), np.float32)
+    for s in range(len(st.dist)):
+        dk, dj, di = (int(v) for v in st.offsets[s])
+        a_s = ap[mext + dk:mext + dk + nz, mext + dj:mext + dj + ny,
+                 mext + di:mext + di + nx]
+        xi = float(st.dist[s])
+        vol = float(st.vol[s])
+        B[0] += np.float32(vol / (xi * xi)) * a_s
+        for d in range(3):
+            ed = float(st.evec[s][d])
+            if ed != 0.0:
+                B[1 + d] += np.float32(ed * vol / xi) * a_s
+    return B
+
+
 def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
     if dtype is None:
         dtype = "float64" if cfg.precision == "f64" else "float32"
@@ -491,4 +524,7 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         wm_fb_src=jnp.asarray(wm_fb_src), wm_fb_dst=jnp.asarray(wm_fb_dst),
         wm_G=jnp.asarray(wm_G), wm_S=jnp.asarray(wm_S),
         wm_colmask=jnp.asarray(wm_colmask),
+        actconv3d=jnp.asarray(_actconv3d_np(nt, st, grid.m + 1)
+                              if grid.dim == 3
+                              else np.zeros((0,), np.float32)),
     )

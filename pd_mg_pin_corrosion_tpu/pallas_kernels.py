@@ -340,6 +340,60 @@ def _geometry_3d(kit: Kit):
     return nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows
 
 
+# Stencil-group chunks per z-block (minor grid dimension): each grid
+# program processes 1/NCHUNK of the (dj, di) roll groups, accumulating in
+# persistent VMEM scratch — bounding Mosaic's live set BY CONSTRUCTION
+# (jax.lax.optimization_barrier is not implemented in the Pallas TPU
+# lowering, so scheduling hints are unavailable). With the act-static
+# restructuring below the whole body fits at NCHUNK=1 (measured fastest);
+# the knob remains for sweeps (scripts/exp_ns3d_chunked.py).
+_NCH3D = max(1, int(os.environ.get("PD_TPU_NS3D_NCHUNK", "1")))
+
+
+def _group_chunks_3d(kit: Kit, nchunk: int):
+    """Contiguous split of the (dj, di) lane-roll groups into nchunk
+    chunks, balanced by slot count (reference stencil order preserved)."""
+    groups: dict = {}
+    for s, xi, e_ij, vol in kit.bond_iter():
+        dk, dj, di = kit.offsets[s]
+        groups.setdefault((dj, di), []).append(
+            (dk, float(xi), tuple(map(float, e_ij)), float(vol)))
+    items = list(groups.items())
+    nchunk = min(nchunk, len(items))
+    total = sum(len(v) for _, v in items)
+    per = total / nchunk
+    chunks, cur, acc = [], [], 0.0
+    for it in items:
+        cur.append(it)
+        acc += len(it[1])
+        if acc >= per * (len(chunks) + 1) and len(chunks) < nchunk - 1:
+            chunks.append(cur)
+            cur = []
+    chunks.append(cur)
+    return chunks
+
+
+def actconv_3d_jnp(kit: Kit, node_type) -> jax.Array:
+    """[4, Nz, Ny, Nx] (B2, Bx, By, Bz) pure-act stencil convolutions —
+    jnp fallback for hand-built kits (tests/validation); production kits
+    carry the host-precomputed kit.actconv3d (kit._actconv3d_np)."""
+    act = (node_type != OUTSIDE).astype(jnp.float32)
+    mx = kit.mext
+    ap = jnp.pad(act, ((mx, mx), (mx, mx), (mx, mx)))
+    nz, ny, nx = kit.shape
+    zero = jnp.zeros((nz, ny, nx), jnp.float32)
+    B = [zero, zero, zero, zero]
+    for s, xi, e_ij, vol in kit.bond_iter():
+        dk, dj, di = kit.offsets[s]
+        a_s = ap[mx + dk:mx + dk + nz, mx + dj:mx + dj + ny,
+                 mx + di:mx + di + nx]
+        B[0] = B[0] + np.float32(vol / (xi * xi)) * a_s
+        for d in range(3):
+            if e_ij[d] != 0.0:
+                B[1 + d] = B[1 + d] + np.float32(e_ij[d] * vol / xi) * a_s
+    return jnp.stack(B)
+
+
 def pallas_applicable_3d(kit: Kit) -> bool:
     if not HAVE_PALLAS or not _on_tpu() or kit.dim != 3 or kit.jdtype != jnp.float32:
         return False
@@ -350,139 +404,164 @@ def pallas_applicable_3d(kit: Kit) -> bool:
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
     if nz * ny * nx < 100_000:
         return False
-    # inputs live in HBM; VMEM holds only the 5 per-block DMA windows plus
-    # the Mosaic temporaries of one block's compute
+    # inputs live in HBM; VMEM holds the 5 per-block DMA windows, the 11
+    # accumulator planes, and the pipelined B/output blocks
     win = _BZ + 2 * _PRZ
-    return (5 * win * cols + 12 * _BZ * Fr) * 4 <= _VMEM_BUDGET
+    return (5 * win * cols + 30 * _BZ * Fr) * 4 <= _VMEM_BUDGET
 
 
-def _ns_kernel_3d(kit: Kit, nzb: int, Fr: int, pcf: int,
-                  dt_ref, rho_ref, vx_ref, vy_ref, vz_ref, act_ref, fl_ref,
+def _ns_kernel_3d(kit: Kit, chunks, nzb: int, Fr: int, pcf: int,
+                  dt_ref, rho_ref, vx_ref, vy_ref, vz_ref, p_ref,
+                  b2_ref, bx_ref, by_ref, bz_ref,
                   rho_out, vx_out, vy_out, vz_out,
-                  rho_s, vx_s, vy_s, vz_s, act_s, sems):
+                  rho_s, vx_s, vy_s, vz_s, p_s, acc_ref, sems):
+    """act-static j-convolution form of the PD-NS bond sums
+    (pd_ns.cpp:86-179), restructured from the round-3 kernel (1.78x):
+
+    act = (node_type != OUTSIDE) never changes over a run and masks are
+    idempotent (act^2 == act), so the caller pre-masks every field
+    (rho*act, v*act, Tait(rho)*act) and the pure-act convolutions B2/B_d
+    arrive precomputed (kit.actconv3d). Each bond accumulation then
+    reduces to j-side-only terms — no per-slot act loads or multiplies,
+    no act window (5 lane rolls per group instead of 6) — with the
+    center-side corrections applied ONCE at finalize:
+        sum_s c_s act_j (f_j - f_i)  =  [sum_s c_s f^m_j] - f_i * B[c].
+    The grid's minor dimension iterates stencil-group chunks with the 11
+    accumulators in persistent VMEM scratch, bounding Mosaic's register-
+    allocator live set per program (the full 178-slot body of the
+    previous form spilled 122-312MB whenever ALU work shrank or _BZ
+    grew; measurements in scripts/exp_ns3d_chunked.py / docs/ROADMAP.md).
+    """
     cfg = kit.cfg
     nxp = kit.shape[2] + 2 * kit.mext
+    nchunk = len(chunks)
     i = pl.program_id(0)
+    c = pl.program_id(1)
     row0 = i * np.int32(_BZ)  # i32 under x64 (Mosaic rejects i64 indices)
     win = _BZ + 2 * _PRZ
 
-    # Inputs stay in HBM ([rows, cols] full arrays); DMA each block's
-    # halo'd window into VMEM scratch. Keeping whole 1M-node fields VMEM-
-    # resident needed ~105MB scoped and faulted the worker when embedded
-    # in the flow while_loop; the windows total ~4MB.
-    copies = []
-    for k, (hbm, scr) in enumerate(
-            [(rho_ref, rho_s), (vx_ref, vx_s), (vy_ref, vy_s),
-             (vz_ref, vz_s), (act_ref, act_s)]):
-        dma = pltpu.make_async_copy(hbm.at[pl.ds(row0, win), :], scr,
-                                    sems.at[k])
-        dma.start()
-        copies.append(dma)
-    for dma in copies:
-        dma.wait()
-
-    w = {
-        "rho": rho_s[...],
-        "vx": vx_s[...],
-        "vy": vy_s[...],
-        "vz": vz_s[...],
-        "act": act_s[...],
-    }
-    # Tait pressure on the window (identical ops to ops.ns.tait_pressure)
-    B = cfg.rho_f * cfg.c0 * cfg.c0 / cfg.gamma_eos
-    ratio = jnp.clip(w["rho"] / cfg.rho_f, 0.5, 2.0)
-    w["p"] = B * (jnp.power(ratio, cfg.gamma_eos) - 1.0)
+    @pl.when(c == 0)
+    def _prologue():
+        # Inputs stay in HBM ([rows, cols] full arrays); DMA each block's
+        # halo'd window into VMEM scratch once per z-block (windows
+        # persist across the chunk grid steps). Keeping whole 1M-node
+        # fields VMEM-resident needed ~105MB scoped and faulted the
+        # worker when embedded in the flow while_loop.
+        copies = []
+        for k, (hbm, scr) in enumerate(
+                [(rho_ref, rho_s), (vx_ref, vx_s), (vy_ref, vy_s),
+                 (vz_ref, vz_s), (p_ref, p_s)]):
+            dma = pltpu.make_async_copy(hbm.at[pl.ds(row0, win), :], scr,
+                                        sems.at[k])
+            dma.start()
+            copies.append(dma)
+        for dma in copies:
+            dma.wait()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def center(a):
         return a[_PRZ:_PRZ + _BZ, pcf:pcf + Fr]
 
-    rho_i = center(w["rho"])
-    v_i = [center(w["vx"]), center(w["vy"]), center(w["vz"])]
-    p_i = center(w["p"])
+    for cc, chunk in enumerate(chunks):
+        @pl.when(c == cc)
+        def _chunk(chunk=chunk):
+            w = {
+                "rho": rho_s[...],
+                "vx": vx_s[...],
+                "vy": vy_s[...],
+                "vz": vz_s[...],
+                "p": p_s[...],
+            }
+            zero = jnp.zeros((_BZ, Fr), jnp.float32)
+            A_mass = zero
+            A_diff = zero
+            A_conv = [zero, zero, zero]
+            A_pres = [zero, zero, zero]
+            A_visc = [zero, zero, zero]
 
-    zero = jnp.zeros((_BZ, Fr), jnp.float32)
-    mass_conv = zero
-    mass_diff = zero
-    mom_conv = [zero, zero, zero]
-    mom_pres = [zero, zero, zero]
-    mom_visc = [zero, zero, zero]
+            for (dj, di), slots in chunk:
+                f = dj * nxp + di
+                lw = {
+                    key: (pltpu.roll(a, np.int32((-f) % a.shape[1]), 1)
+                          if f else a)
+                    for key, a in w.items()
+                }
 
-    D_v = cfg.eta_density * cfg.c0 * cfg.delta
-    dens_coeff = kit.beta_lap * D_v
+                for dk, xi, e_ij, vol in slots:
+                    def sh(key):
+                        return lw[key][_PRZ + dk:_PRZ + dk + _BZ,
+                                       pcf:pcf + Fr]
 
-    # Group slots by in-plane offset (dj, di): one lane roll per field per
-    # group, consumed by that group's dk slots and then DEAD — keeping all
-    # ~38 groups' rolled windows memoized across the unrolled body spills
-    # ~130MB of VMEM. Group-major accumulation reorders the f32 sums vs the
-    # XLA path's stencil order (parity test uses allclose, not bit-equal).
-    groups: dict = {}
-    for s, xi, e_ij, vol in kit.bond_iter():
-        dk, dj, di = kit.offsets[s]
-        groups.setdefault((dj, di), []).append((dk, xi, e_ij, vol))
+                    rho_j = sh("rho")
+                    v_j = [sh("vx"), sh("vy"), sh("vz")]
+                    p_j = sh("p")
 
-    for (dj, di), slots in groups.items():
-        f = dj * nxp + di
-        lw = {
-            key: (pltpu.roll(a, np.int32((-f) % a.shape[1]), 1) if f else a)
-            for key, a in w.items()
-        }
+                    c1 = vol / xi
+                    c2 = vol / (xi * xi)
+                    # e components that are exactly 0.0 (axis-aligned
+                    # bonds) contribute exact zeros; skipping them drops
+                    # whole VPU passes (Mosaic folds neither x*0.0 nor
+                    # 0.0+x). Exact for finite fields.
+                    et = [e_ij[d] * c1 for d in range(3)]
+                    fdj = None
+                    for d in range(3):
+                        if e_ij[d] != 0.0:
+                            t = (rho_j * v_j[d]) * et[d]
+                            fdj = t if fdj is None else fdj + t
+                    A_mass += fdj
+                    A_diff += rho_j * c2
+                    for d in range(3):
+                        A_conv[d] += v_j[d] * fdj
+                        if e_ij[d] != 0.0:
+                            A_pres[d] += p_j * et[d]
+                        A_visc[d] += v_j[d] * c2
 
-        for dk, xi, e_ij, vol in slots:
-            def sh(key):
-                return lw[key][_PRZ + dk:_PRZ + dk + _BZ, pcf:pcf + Fr]
+            accs = [A_mass, A_diff] + A_conv + A_pres + A_visc
+            for k, a in enumerate(accs):
+                acc_ref[k] += a
 
-            V_j = vol * sh("act")
-            rho_j = sh("rho")
-            v_j = [sh("vx"), sh("vy"), sh("vz")]
-            p_j = sh("p")
+    @pl.when(c == nchunk - 1)
+    def _finalize():
+        # centers come from the masked windows: outputs only matter at
+        # FLUID nodes (the caller's jnp.where), where act == 1 so
+        # masked == raw
+        rho_i = center(rho_s[...])
+        v_i = [center(vx_s[...]), center(vy_s[...]), center(vz_s[...])]
+        p_i = center(p_s[...])
 
-            inv_xi = 1.0 / xi
-            inv_xi2 = inv_xi * inv_xi
+        dt = dt_ref[0, 0]
+        a_inv_VH = kit.alpha / kit.V_H
+        D_v = cfg.eta_density * cfg.c0 * cfg.delta
+        dens_coeff = kit.beta_lap * D_v
 
-            # e_ij components that are exactly 0.0 (axis-aligned bonds)
-            # contribute exact zeros; skipping them drops whole VPU passes
-            # (Mosaic folds neither x*0.0 nor 0.0+x, so accumulators seed
-            # from the first live term). Exact for finite fields.
-            fd = None
-            for d in range(3):
-                if e_ij[d] != 0.0:
-                    t = (rho_j * v_j[d] - rho_i * v_i[d]) * e_ij[d]
-                    fd = t if fd is None else fd + t
-            mass_conv += fd * inv_xi * V_j
-            mass_diff += dens_coeff * (rho_j - rho_i) * inv_xi2 * V_j
+        B2 = b2_ref[...]
+        B = [bx_ref[...], by_ref[...], bz_ref[...]]
+        m_i = [rho_i * v_i[d] for d in range(3)]
+        F_i = m_i[0] * B[0] + m_i[1] * B[1] + m_i[2] * B[2]
+        mass_conv = acc_ref[0] - F_i
+        mass_diff = acc_ref[1] - rho_i * B2
+        mom_conv = [acc_ref[2 + d] - v_i[d] * F_i for d in range(3)]
+        mom_pres = [acc_ref[5 + d] - p_i * B[d] for d in range(3)]
+        mom_visc = [acc_ref[8 + d] - v_i[d] * B2 for d in range(3)]
 
-            for d in range(3):
-                conv_d = None
-                for dp in range(3):
-                    if e_ij[dp] != 0.0:
-                        t = (rho_j * v_j[d] * v_j[dp]
-                             - rho_i * v_i[d] * v_i[dp]) * e_ij[dp]
-                        conv_d = t if conv_d is None else conv_d + t
-                mom_conv[d] += conv_d * inv_xi * V_j
-                if e_ij[d] != 0.0:
-                    mom_pres[d] += (p_j - p_i) * e_ij[d] * inv_xi * V_j
-                mom_visc[d] += (v_j[d] - v_i[d]) * inv_xi2 * V_j
+        rho_new = rho_i + dt * (-a_inv_VH * mass_conv
+                                + dens_coeff * mass_diff)
+        rho_new = jnp.clip(rho_new, 0.5 * cfg.rho_f, 2.0 * cfg.rho_f)
 
-    dt = dt_ref[0, 0]
-    a_inv_VH = kit.alpha / kit.V_H
-
-    rho_new = rho_i + dt * (-a_inv_VH * mass_conv + mass_diff)
-    rho_new = jnp.clip(rho_new, 0.5 * cfg.rho_f, 2.0 * cfg.rho_f)
-
-    inv_rho = 1.0 / rho_i
-    v_new = [
-        v_i[d] + dt * inv_rho * (
-            -a_inv_VH * (mom_conv[d] + mom_pres[d])
-            + cfg.mu_f * kit.beta_lap * mom_visc[d]
-        )
-        for d in range(3)
-    ]
-
-    fluid = fl_ref[...]
-    rho_out[...] = jnp.where(fluid, rho_new, rho_i)
-    vx_out[...] = jnp.where(fluid, v_new[0], v_i[0])
-    vy_out[...] = jnp.where(fluid, v_new[1], v_i[1])
-    vz_out[...] = jnp.where(fluid, v_new[2], v_i[2])
+        inv_rho = 1.0 / rho_i
+        v_new = [
+            v_i[d] + dt * inv_rho * (
+                -a_inv_VH * (mom_conv[d] + mom_pres[d])
+                + cfg.mu_f * kit.beta_lap * mom_visc[d]
+            )
+            for d in range(3)
+        ]
+        # non-fluid values (incl. 1/0 at masked nodes) are discarded by
+        # the caller's jnp.where(fluid, ...)
+        rho_out[...] = rho_new
+        vx_out[...] = v_new[0]
+        vy_out[...] = v_new[1]
+        vz_out[...] = v_new[2]
 
 
 def _flatten_3d(a, kit: Kit, nzb, Fr, pcf, fill=0.0, halo=None):
@@ -509,60 +588,91 @@ def _flatten_3d(a, kit: Kit, nzb, Fr, pcf, fill=0.0, halo=None):
 
 
 @jax.jit
-def ns_step_pallas_3d(state: State, kit: Kit, dt, halo=None) -> State:
+def ns_step_pallas_3d(state: State, kit: Kit, dt, halo=None,
+                      actconv=None) -> State:
     """Drop-in replacement for ops.ns.ns_step (3D f32 structured grids).
 
     ``halo``: optional dict of (lo, hi) z-plane slabs for 'rho', 'vx',
     'vy', 'vz', 'act' (see _flatten_3d), supplied by the shard_map wrapper
-    so the kernel runs per-shard on a z-sharded device mesh. Note the
-    kernel computes Tait pressure from the (halo'd) rho window itself."""
+    so the kernel runs per-shard on a z-sharded device mesh; masking and
+    the Tait pressure are applied to the slabs here (elementwise — per-
+    node identical to the single-device path).
+
+    ``actconv``: the [4, nz_local, ny, nx] pure-act convolutions for THIS
+    slab. Defaults to kit.actconv3d (host-precomputed at build_kit); the
+    shard_map wrapper MUST pass its local slice of the global array (a
+    locally-recomputed one would miss cross-shard bonds in B near slab
+    boundaries)."""
     nz, ny, nx, mx, nxp, F, Fr, pcf, cols, nzb, rows = _geometry_3d(kit)
 
     pressure = tait_pressure(state.rho, kit)
+    act = (state.node_type != OUTSIDE).astype(jnp.float32)
     h = halo or {}
 
+    if actconv is None:
+        actconv = (kit.actconv3d if getattr(kit, "actconv3d", None) is not None
+                   and kit.actconv3d.size else
+                   actconv_3d_jnp(kit, state.node_type))
+
+    def masked_halo(key, field_halo):
+        if field_halo is None:
+            return None
+        (alo, ahi) = h["act"]
+        lo, hi = field_halo
+        if key == "p":
+            lo, hi = tait_pressure(lo, kit), tait_pressure(hi, kit)
+        return (lo * alo, hi * ahi)
+
     args = [
-        _flatten_3d(state.rho, kit, nzb, Fr, pcf, halo=h.get("rho")),
-        _flatten_3d(state.vel[..., 0], kit, nzb, Fr, pcf, halo=h.get("vx")),
-        _flatten_3d(state.vel[..., 1], kit, nzb, Fr, pcf, halo=h.get("vy")),
-        _flatten_3d(state.vel[..., 2], kit, nzb, Fr, pcf, halo=h.get("vz")),
-        _flatten_3d((state.node_type != OUTSIDE).astype(jnp.float32),
-                    kit, nzb, Fr, pcf, halo=h.get("act")),
+        _flatten_3d(state.rho * act, kit, nzb, Fr, pcf,
+                    halo=masked_halo("rho", h.get("rho"))),
+        _flatten_3d(state.vel[..., 0] * act, kit, nzb, Fr, pcf,
+                    halo=masked_halo("vx", h.get("vx"))),
+        _flatten_3d(state.vel[..., 1] * act, kit, nzb, Fr, pcf,
+                    halo=masked_halo("vy", h.get("vy"))),
+        _flatten_3d(state.vel[..., 2] * act, kit, nzb, Fr, pcf,
+                    halo=masked_halo("vz", h.get("vz"))),
+        _flatten_3d(pressure * act, kit, nzb, Fr, pcf,
+                    halo=masked_halo("p", h.get("rho"))),
     ]
-    fl = jnp.pad(state.node_type == FLUID, ((0, 0), (0, 0), (mx, mx)),
-                 constant_values=False).reshape(nz, F)
-    fl = jnp.pad(fl, ((0, nzb - nz), (0, Fr - F)), constant_values=False)
+    bargs = [flat3d_center(kit, actconv[k]) for k in range(4)]
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
-    kernel = functools.partial(_ns_kernel_3d, kit, nzb, Fr, pcf)
+    chunks = _group_chunks_3d(kit, _NCH3D)
+    kernel = functools.partial(_ns_kernel_3d, kit, chunks, nzb, Fr, pcf)
     out_shape = [jax.ShapeDtypeStruct((nzb, Fr), jnp.float32)] * 4
 
     win = _BZ + 2 * _PRZ
+    blk = pl.BlockSpec((_BZ, Fr), lambda i, c: (i, 0),
+                       memory_space=pltpu.VMEM)
     with jax.enable_x64(False):  # see ns_step_pallas
         rho_new, vx, vy, vz = pl.pallas_call(
             kernel,
-            grid=(nzb // _BZ,),
+            grid=(nzb // _BZ, len(chunks)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             # the 5 big fields stay in HBM; the kernel DMAs its window
             + [pl.BlockSpec(memory_space=pltpu.ANY)] * 5
-            + [pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)],      # fluid mask
-            out_specs=[pl.BlockSpec((_BZ, Fr), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM)] * 4,
+            + [blk] * 4,                                    # B2, Bx, By, Bz
+            out_specs=[blk] * 4,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((win, cols), jnp.float32)] * 5
+            + [pltpu.VMEM((11, _BZ, Fr), jnp.float32)]
             + [pltpu.SemaphoreType.DMA((5,))],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=INTERPRET,
-        )(dt_arr, *args, fl)
+        )(dt_arr, *args, *bargs)
 
     def unflatten(a):
         return a[:nz, :F].reshape(nz, ny, nxp)[:, :, mx:mx + nx]
 
-    vel_new = jnp.stack([unflatten(vx), unflatten(vy), unflatten(vz)], axis=-1)
-    return replace(state, rho=unflatten(rho_new), vel=vel_new,
-                   pressure=pressure)
+    fluid = state.node_type == FLUID
+    vel_new = jnp.stack(
+        [jnp.where(fluid, unflatten(v), state.vel[..., d])
+         for d, v in enumerate([vx, vy, vz])], axis=-1)
+    return replace(state,
+                   rho=jnp.where(fluid, unflatten(rho_new), state.rho),
+                   vel=vel_new, pressure=pressure)
 
 
 # ---------------------------------------------------------------------------

@@ -145,22 +145,38 @@ def ns_step_sharded(state: State, kit, dt) -> State:
     geom = geom_kit(kit, local_shape_of(kit))
     specs = _state_pspecs(state)
 
-    @partial(shard_map, mesh=mesh, in_specs=(specs, P()),
+    if kit.dim == 2:
+        @partial(shard_map, mesh=mesh, in_specs=(specs, P()),
+                 out_specs=specs, check_vma=False)
+        def body2(st: State, dt_):
+            act = (st.node_type != OUTSIDE).astype(jnp.float32)
+            halo = {
+                "rho": halo_pair(st.rho, m, n),
+                "act": halo_pair(act, m, n),
+                "vx": halo_pair(st.vel[..., 0], m, n),
+                "vy": halo_pair(st.vel[..., 1], m, n),
+            }
+            return ns_step_pallas(st, geom, dt_, halo=halo)
+
+        return body2(state, jnp.asarray(dt, jnp.float32))
+
+    # 3D: the kernel's static act-convolutions (B2/B_d) must be the LOCAL
+    # SLICE of the globally-precomputed kit.actconv3d — computing them
+    # per shard would miss cross-shard bonds near the slab boundaries
+    @partial(shard_map, mesh=mesh, in_specs=(specs, P(), P(None, AXIS)),
              out_specs=specs, check_vma=False)
-    def body(st: State, dt_):
+    def body3(st: State, dt_, actconv):
         act = (st.node_type != OUTSIDE).astype(jnp.float32)
         halo = {
             "rho": halo_pair(st.rho, m, n),
             "act": halo_pair(act, m, n),
             "vx": halo_pair(st.vel[..., 0], m, n),
             "vy": halo_pair(st.vel[..., 1], m, n),
+            "vz": halo_pair(st.vel[..., 2], m, n),
         }
-        if kit.dim == 2:
-            return ns_step_pallas(st, geom, dt_, halo=halo)
-        halo["vz"] = halo_pair(st.vel[..., 2], m, n)
-        return ns_step_pallas_3d(st, geom, dt_, halo=halo)
+        return ns_step_pallas_3d(st, geom, dt_, halo=halo, actconv=actconv)
 
-    return body(state, jnp.asarray(dt, jnp.float32))
+    return body3(state, jnp.asarray(dt, jnp.float32), kit.actconv3d)
 
 
 # ---------------------------------------------------------------------------

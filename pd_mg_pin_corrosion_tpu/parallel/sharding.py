@@ -90,4 +90,7 @@ def shard_kit(kit, mesh: Mesh):
         v_pois=put(kit.v_pois, P(AXIS, None)),
         mirror_flat=put(kit.mirror_flat, P()),          # replicated
         initial_solid_mask=put(kit.initial_solid_mask, P(AXIS, None)),
+        # [4, Nz, Ny, Nx] — axial axis is axis 1; empty [(0,)] in 2D
+        actconv3d=(put(kit.actconv3d, P(None, AXIS))
+                   if kit.actconv3d.ndim == 4 else kit.actconv3d),
     )
