@@ -16,9 +16,13 @@ configs, so parsing those stays byte-identical):
                          checkpoint/resume, see SURVEY §5). Round-3 change:
                          the fused-cycles branch now honors this cadence too
                          (it previously checkpointed after every chunk; at 1M
-                         nodes per-launch checkpoints would dominate I/O), so
-                         capped launches can widen the resilience window to
-                         >= checkpoint_every cycles between saves.
+                         nodes per-launch checkpoints would dominate I/O).
+                         Round-4 fix: a dynamic cycle cap forces the launch
+                         that reaches the checkpoint-due cycle to END at that
+                         cycle boundary, so the cadence actually fires even
+                         when output/budget exits would otherwise always
+                         preempt the boundary (observed on the 1M flagship:
+                         zero checkpoints in 13 cycles before the fix).
 * ``resume_from``      — checkpoint directory/file to resume from.
 """
 

@@ -174,7 +174,8 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
                          flow_iter_cap=jnp.asarray(2**30, jnp.int32),
                          output_every=jnp.asarray(2**30, jnp.int32),
                          flow_stride=jnp.asarray(2**30, jnp.int32),
-                         flow_solves0=jnp.asarray(0, jnp.int32)):
+                         flow_solves0=jnp.asarray(0, jnp.int32),
+                         cycle_cap=jnp.asarray(2**30, jnp.int32)):
     """Up to ``max_cycles`` FULL coupling cycles fused in ONE device
     execution — the "dissolve-and-continue" loop (round-3 roadmap #1),
     restructured (round 4) as a resumable MICRO-OP state machine so a
@@ -298,7 +299,15 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
         # a pending mid-cycle phase (op carried) must be allowed to finish
         # even past T_final — the reference applies phase change after the
         # inner loop unconditionally (coupling.cpp:256)
-        more = ((c["cycles"] < max_cycles) & c["any_solid"] & ~c["diverged"]
+        # cycle_cap (dynamic, <= max_cycles) forces a CYCLE-BOUNDARY exit
+        # when the host has a checkpoint due: with output-boundary exits
+        # every implicit_output_every steps, launches otherwise almost
+        # never end with phase == CYCLE_START, and the fused branch's
+        # cycle-boundary-only checkpoints would never fire (observed: 13
+        # cycles, checkpoint_every=4, zero checkpoints written before a
+        # relay-worker hang cost the whole run)
+        more = ((c["cycles"] < jnp.minimum(max_cycles, cycle_cap))
+                & c["any_solid"] & ~c["diverged"]
                 & ((c["t"] < T_final) | (c["phase"] != _PH_CYCLE_START)))
         budget = (c["steps"] < step_cap) & (c["flow_iters"] < flow_iter_cap)
         return more & budget & ~c["exit_output"] & ~c["exit_flow"]
@@ -549,6 +558,12 @@ class CoupledSolver:
                     fused_op = assemble_operator(
                         state, kit, volume_loss_fraction(state, kit))
                 t_ph = time.time()
+                # force the launch to end AT the cycle boundary where a
+                # checkpoint falls due (cycle-boundary-only saves would
+                # otherwise be preempted forever by output/budget exits)
+                ckpt_cap = (max(1, cfg.checkpoint_every
+                                - (cycle - ckpt_cycle))
+                            if cfg.checkpoint_every else 2**30)
                 out = coupled_cycles_chunk(
                     state, kit, fused_op, t_corr, self.total_implicit_steps,
                     cfg.T_final, max(cfg.dissolution_batch, 1),
@@ -562,7 +577,8 @@ class CoupledSolver:
                     output_every=fused_out_every,
                     flow_stride=fused_flow_stride,
                     flow_solves0=jnp.asarray(self.flow_solve_count,
-                                             jnp.int32))
+                                             jnp.int32),
+                    cycle_cap=jnp.asarray(ckpt_cap, jnp.int32))
                 n_cyc = int(out["cycles"])  # fences the chunk
                 self._phase("coupled_chunk", t_ph)
                 state = out["state"]

@@ -218,3 +218,47 @@ def test_fused_chunk_launch_cap_matches_host(tmp_path):
 
     np.testing.assert_array_equal(np.asarray(final_f.node_type),
                                   np.asarray(final_h.node_type))
+
+
+def test_fused_checkpoint_cadence_fires_under_output_exits(tmp_path):
+    """Round-4 regression: fused-branch checkpoints are cycle-boundary-
+    only, but with per-step output every launch used to end at an OUTPUT
+    boundary (phase != CYCLE_START), so the checkpoint gate never fired —
+    observed on the 1M flagship (13 cycles, checkpoint_every=4, zero
+    checkpoints; a relay hang then cost the whole run). The dynamic
+    cycle_cap must force the checkpoint-due launch to end AT the cycle
+    boundary, without changing the trajectory."""
+    import os
+
+    cfg_host = coupled_cfg(tmp_path / "host", use_implicit=1)
+    cfg_host.implicit_output_every = 1  # per-step VTI output
+    _, _, solver_h, final_h = run_solver(cfg_host)
+
+    cfg_fused = coupled_cfg(tmp_path / "fused", use_implicit=1)
+    cfg_fused.implicit_output_every = 1
+    cfg_fused.coupled_fused_cycles = 8
+    cfg_fused.checkpoint_every = 2
+    _, _, solver_f, final_f = run_solver(cfg_fused)
+
+    # the checkpoint actually fired (pre-fix: never, in this exact setup)
+    assert os.path.exists(f"{cfg_fused.output_dir}/checkpoint.npz")
+
+    # and forcing cycle-boundary exits did not perturb the trajectory
+    assert solver_h.total_dissolved > 0
+    assert solver_f.total_dissolved == solver_h.total_dissolved
+    assert solver_f.total_implicit_steps == solver_h.total_implicit_steps
+
+    def listing(cfg):
+        return sorted(f for f in os.listdir(cfg.output_dir)
+                      if f.startswith("corr_") and f.endswith(".vti"))
+
+    assert listing(cfg_fused) == listing(cfg_host)
+    for name in ("diagnostics.csv", "mass_loss.csv"):
+        with open(f"{cfg_host.output_dir}/{name}") as f:
+            host_rows = f.read()
+        with open(f"{cfg_fused.output_dir}/{name}") as f:
+            fused_rows = f.read()
+        assert fused_rows == host_rows, name
+
+    np.testing.assert_array_equal(np.asarray(final_f.node_type),
+                                  np.asarray(final_h.node_type))
