@@ -41,13 +41,13 @@ Config.__hash__ = _hash_cfg  # make Config usable as static jit metadata
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
-        "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
+        "inlet_mask", "outlet_mask", "wall_mask",
+        "near_inlet_mask", "near_outlet_mask", "v_pois",
         "initial_solid_mask", "mirror_group_masks", "mirror_none_mask",
         "gs_out_idx", "gs_out_nbr", "gs_out_valid",
         "gs_smo_idx", "gs_smo_nbr", "gs_smo_valid",
         "gs_smo_near_in", "gs_smo_near_out",
-        "wm_src_cols", "wm_dst_cols", "wm_fb_src", "wm_fb_dst",
+        "wm_dst_cols", "wm_fb_src", "wm_fb_dst",
         "wm_G", "wm_S", "wm_colmask", "actconv3d",
     ],
     meta_fields=["cfg", "dim", "shape", "mext", "offsets", "dist", "evec",
@@ -60,11 +60,9 @@ class Kit:
     inlet_mask: jax.Array        # [*S] bool (static node types — never change)
     outlet_mask: jax.Array       # [*S] bool
     wall_mask: jax.Array         # [*S] bool
-    outside_mask: jax.Array      # [*S] bool
     near_inlet_mask: jax.Array   # [*S] bool — FLUID-classified region within
     near_outlet_mask: jax.Array  #   delta of the axial domain ends (boundary.cpp:332-352)
     v_pois: jax.Array            # [*S] analytic Poiseuille axial velocity
-    mirror_flat: jax.Array       # [N] int32 flat mirror source (-1 -> none)
     initial_solid_mask: jax.Array  # [*S] bool — for volume-loss diagnostics
     # FNM wall mirrors grouped by lattice offset: every wall node's mirror
     # source is a nearby node, so the mirror "gather" is a handful of rolls
@@ -92,7 +90,9 @@ class Kit:
     # *unsharded* cross-section axis, batched over the sharded z axis, and
     # (b) a small static FALLBACK set (mirror rounded into the wall band ->
     # nearest-FLUID source, possibly dz != 0): a tiny flat gather/scatter.
-    wm_src_cols: jax.Array       # [P] int32 cross-section source columns
+    # (source columns are folded into wm_G at build time and not carried;
+    # wm_dst_cols stays traced — tests/test_3d.py and __graft_entry__.py
+    # read it to size/validate the primary mirror set)
     wm_dst_cols: jax.Array       # [P] int32 cross-section wall columns
     wm_fb_src: jax.Array         # [F] int32 flat source indices
     wm_fb_dst: jax.Array         # [F] int32 flat wall indices
@@ -495,11 +495,9 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         inlet_mask=jnp.asarray(nt == INLET),
         outlet_mask=jnp.asarray(nt == OUTLET),
         wall_mask=jnp.asarray(nt == WALL),
-        outside_mask=jnp.asarray(nt == OUTSIDE),
         near_inlet_mask=jnp.asarray(near_inlet),
         near_outlet_mask=jnp.asarray(near_outlet),
         v_pois=jnp.asarray(v_pois, jnp.dtype(dtype)),
-        mirror_flat=jnp.asarray(grid.mirror_idx.ravel(), jnp.int32),
         initial_solid_mask=jnp.asarray(nt == SOLID_MG),
         cfg=cfg,
         dim=grid.dim,
@@ -520,7 +518,7 @@ def build_kit(grid: Grid, cfg: Config, dtype: str | None = None) -> Kit:
         gs_smo_idx=jnp.asarray(gs_i), gs_smo_nbr=jnp.asarray(gs_n),
         gs_smo_valid=jnp.asarray(gs_v),
         gs_smo_near_in=jnp.asarray(gs_ni), gs_smo_near_out=jnp.asarray(gs_no),
-        wm_src_cols=jnp.asarray(wm_src), wm_dst_cols=jnp.asarray(wm_dst),
+        wm_dst_cols=jnp.asarray(wm_dst),
         wm_fb_src=jnp.asarray(wm_fb_src), wm_fb_dst=jnp.asarray(wm_fb_dst),
         wm_G=jnp.asarray(wm_G), wm_S=jnp.asarray(wm_S),
         wm_colmask=jnp.asarray(wm_colmask),

@@ -84,11 +84,9 @@ def shard_kit(kit, mesh: Mesh):
         inlet_mask=put(kit.inlet_mask, P(AXIS, None)),
         outlet_mask=put(kit.outlet_mask, P(AXIS, None)),
         wall_mask=put(kit.wall_mask, P(AXIS, None)),
-        outside_mask=put(kit.outside_mask, P(AXIS, None)),
         near_inlet_mask=put(kit.near_inlet_mask, P(AXIS, None)),
         near_outlet_mask=put(kit.near_outlet_mask, P(AXIS, None)),
         v_pois=put(kit.v_pois, P(AXIS, None)),
-        mirror_flat=put(kit.mirror_flat, P()),          # replicated
         initial_solid_mask=put(kit.initial_solid_mask, P(AXIS, None)),
         # [4, Nz, Ny, Nx] — axial axis is axis 1; empty [(0,)] in 2D
         actconv3d=(put(kit.actconv3d, P(None, AXIS))

@@ -35,7 +35,7 @@ PI = math.pi
     data_fields=[
         "nbr_idx", "nbr_dist", "nbr_evec", "nbr_vol",
         "V_H_node", "beta_node", "delta_node",
-        "inlet_mask", "outlet_mask", "wall_mask", "outside_mask",
+        "inlet_mask", "outlet_mask", "wall_mask",
         "near_inlet_mask", "near_outlet_mask", "v_pois", "mirror_flat",
         "initial_solid_mask", "fict_nodes", "fict_src", "fict_w",
     ],
@@ -53,7 +53,6 @@ class UKit:
     inlet_mask: jax.Array
     outlet_mask: jax.Array
     wall_mask: jax.Array
-    outside_mask: jax.Array
     near_inlet_mask: jax.Array
     near_outlet_mask: jax.Array
     v_pois: jax.Array
@@ -122,7 +121,6 @@ def build_ukit(grid: AMRGrid, cfg: Config, dtype: str | None = None) -> UKit:
         inlet_mask=jnp.asarray(nt == INLET),
         outlet_mask=jnp.asarray(nt == OUTLET),
         wall_mask=jnp.asarray(nt == WALL),
-        outside_mask=jnp.asarray(nt == OUTSIDE),
         near_inlet_mask=jnp.asarray(near_in),
         near_outlet_mask=jnp.asarray(near_out),
         v_pois=jnp.asarray(v_pois, jd),
