@@ -131,8 +131,17 @@ def _fine_cfg(cfg: Config) -> Config:
 def build_amr_block_grid(cfg: Config) -> ABGrid:
     """Block-structured twin of amr.build_amr_grid: the same REAL and
     FICTITIOUS node sets (same lattices, zones, bands and IDW sources as
-    grid.cpp:349-654), embedded in two dense rectangles."""
-    assert cfg.dim == 2, "AMR is 2D (matches reference build_amr)"
+    grid.cpp:349-654), embedded in two dense rectangles.
+
+    3D (dim=3) is a capability the reference only gestures at: its AMR
+    builder is DIM-templated but hardwires pz=0.0 in every placement loop
+    (grid.cpp:405,437) and tests the AXIAL extent against y instead of z
+    (in_fine_zone, grid.cpp:341-347), so its own 3D AMR never worked. Here
+    the fine zone is the (corrected) cylinder
+    sqrt(x^2+y^2) <= R_wire + amr_buffer, z in [-buffer, L_wire + buffer],
+    and the two-block machinery is dimension-generic.
+    """
+    dim = cfg.dim
     dx_f, dx_c = cfg.dx, cfg.dx_coarse
     delta_f, delta_c = cfg.delta, cfg.delta_coarse
     m = cfg.m_ratio
@@ -156,34 +165,56 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
         n = int(round((hi - lo) / dx)) + 1
         return lo + np.arange(n) * dx
 
+    def zone(px, py, pz, r, lo, hi):
+        """Cross-section radius + axial-extent zone predicate (the corrected
+        form of grid.cpp:341-347 for both dims)."""
+        if dim == 2:
+            return (np.abs(px) <= r) & (py >= lo) & (py <= hi)
+        return (np.sqrt(px * px + py * py) <= r) & (pz >= lo) & (pz <= hi)
+
     # ---- fine block: sub-rectangle of the global fine lattice covering
     # the aux rectangle (zone + fictitious band) ----
     xs_f = axis_points(dx_f, r_dom_lo, r_dom_hi)
-    ys_f = axis_points(dx_f, z_dom_lo, z_dom_hi)
+    zs_f = axis_points(dx_f, z_dom_lo, z_dom_hi)
     ix = np.flatnonzero(np.abs(xs_f) <= aux_r)
-    iy = np.flatnonzero((ys_f >= aux_lo) & (ys_f <= aux_hi))
-    fx, fy = xs_f[ix], ys_f[iy]
-    FX, FY = np.meshgrid(fx, fy)                    # [Nyf, Nxf]
-    nt_fb = _classify_block(cfg, FX, FY, m, dx_f)
-    in_zone = (np.abs(FX) <= fine_r) & (FY >= fine_z_lo) & (FY <= fine_z_hi)
-    # in-zone: REAL (classified); band: FICTITIOUS; classified-OUTSIDE stays
+    iz = np.flatnonzero((zs_f >= aux_lo) & (zs_f <= aux_hi))
+    fx, fz = xs_f[ix], zs_f[iz]
+    if dim == 2:
+        FX, FY = np.meshgrid(fx, fz)                # [Nyf, Nxf]
+        FZ = np.zeros_like(FX)
+        pos_fine = np.stack([FX, FY], -1)
+    else:
+        FZ, FY, FX = np.meshgrid(fz, fx, fx, indexing="ij")  # [Nzf,Nyf,Nxf]
+        pos_fine = np.stack([FX, FY, FZ], -1)
+    nt_fb = _classify_block(cfg, FX, FY, FZ, m, dx_f)
+    in_zone = zone(FX, FY, FZ, fine_r, fine_z_lo, fine_z_hi)
+    in_aux = zone(FX, FY, FZ, aux_r, aux_lo, aux_hi)
+    # in-zone: REAL (classified); aux band (zone dilated by delta_f + dx_f,
+    # grid.cpp:529-531): FICTITIOUS; the rest of the block (the box corners
+    # beyond the cylindrical band in 3D) and classified-OUTSIDE: inert
     nt_fine = np.where(nt_fb == OUTSIDE, OUTSIDE,
-                       np.where(in_zone, nt_fb, FICTITIOUS)).astype(np.uint8)
-    pos_fine = np.stack([FX, FY], -1)
+                       np.where(in_zone, nt_fb,
+                                np.where(in_aux, FICTITIOUS,
+                                         OUTSIDE))).astype(np.uint8)
 
     # ---- coarse block: the full domain lattice at dx_c ----
     xs_c = axis_points(dx_c, r_dom_lo, r_dom_hi)
-    ys_c = axis_points(dx_c, z_dom_lo, z_dom_hi)
-    CX, CY = np.meshgrid(xs_c, ys_c)
-    nt_cb = _classify_block(cfg, CX, CY, m, dx_c)
-    in_zone_c = (np.abs(CX) <= fine_r) & (CY >= fine_z_lo) & (CY <= fine_z_hi)
-    in_inner = (np.abs(CX) <= inner_r) & (CY >= inner_lo) & (CY <= inner_hi)
+    zs_c = axis_points(dx_c, z_dom_lo, z_dom_hi)
+    if dim == 2:
+        CX, CY = np.meshgrid(xs_c, zs_c)
+        CZ = np.zeros_like(CX)
+        pos_coarse = np.stack([CX, CY], -1)
+    else:
+        CZ, CY, CX = np.meshgrid(zs_c, xs_c, xs_c, indexing="ij")
+        pos_coarse = np.stack([CX, CY, CZ], -1)
+    nt_cb = _classify_block(cfg, CX, CY, CZ, m, dx_c)
+    in_zone_c = zone(CX, CY, CZ, fine_r, fine_z_lo, fine_z_hi)
+    in_inner = zone(CX, CY, CZ, inner_r, inner_lo, inner_hi)
     nt_coarse = np.where(
         nt_cb == OUTSIDE, OUTSIDE,
         np.where(~in_zone_c, nt_cb,                       # real coarse
                  np.where(in_inner, OUTSIDE, FICTITIOUS))  # deactivated / band
     ).astype(np.uint8)
-    pos_coarse = np.stack([CX, CY], -1)
 
     n_fine = nt_fine.size
 
@@ -194,8 +225,8 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
         (nt_fine.ravel() != OUTSIDE) & (nt_fine.ravel() != FICTITIOUS))
     real_coarse = np.flatnonzero(
         (nt_coarse.ravel() != OUTSIDE) & (nt_coarse.ravel() != FICTITIOUS))
-    tree_f = cKDTree(pos_fine.reshape(-1, 2)[real_fine])
-    tree_c = cKDTree(pos_coarse.reshape(-1, 2)[real_coarse])
+    tree_f = cKDTree(pos_fine.reshape(-1, dim)[real_fine])
+    tree_c = cKDTree(pos_coarse.reshape(-1, dim)[real_coarse])
 
     fict_rows = []  # (flat_layout_idx, [src_layout_idx...], [w...])
     dropped_f = dropped_c = 0
@@ -205,7 +236,7 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
         if not srcs:
             return False
         gsrc = real_map[srcs] + offset
-        pts = (pos_fine if offset == 0 else pos_coarse).reshape(-1, 2)
+        pts = (pos_fine if offset == 0 else pos_coarse).reshape(-1, dim)
         d2 = np.maximum(((pts[gsrc - offset] - p) ** 2).sum(-1), 1e-30)
         w = 1.0 / (d2 * d2)
         fict_rows.append((flat_idx, gsrc, w / w.sum()))
@@ -213,14 +244,14 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
 
     # fine fictitious <- coarse REAL within delta_c
     ntf_flat = nt_fine.ravel()
-    pf = pos_fine.reshape(-1, 2)
+    pf = pos_fine.reshape(-1, dim)
     for n in np.flatnonzero(ntf_flat == FICTITIOUS):
         if not add(n, pf[n], tree_c, real_coarse, n_fine, delta_c):
             ntf_flat[n] = OUTSIDE  # sourceless aux node: not a node at all
             dropped_f += 1
     # coarse fictitious <- fine REAL within delta_f
     ntc_flat = nt_coarse.ravel()
-    pc = pos_coarse.reshape(-1, 2)
+    pc = pos_coarse.reshape(-1, dim)
     for n in np.flatnonzero(ntc_flat == FICTITIOUS):
         if not add(n_fine + n, pc[n], tree_f, real_fine, 0, delta_f):
             ntc_flat[n] = OUTSIDE
@@ -237,27 +268,46 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
         fict_w[r, : len(w)] = w
 
     # ---- synthetic per-block Grid objects ----
-    cfg_f = _fine_cfg(cfg)
-    cfg_c = _coarse_cfg(cfg)
-    st_f = build_stencil(dx_f, delta_f, m, 2)
-    st_c = build_stencil(dx_c, delta_c, m, 2)
+    st_f = build_stencil(dx_f, delta_f, m, dim)
+    st_c = build_stencil(dx_c, delta_c, m, dim)
+
+    if dim == 2:
+        fine_dims = dict(Nx=len(fx), Ny=len(fz), Nz=1,
+                         origin=(float(fx[0]), float(fz[0])))
+        coarse_dims = dict(Nx=len(xs_c), Ny=len(zs_c), Nz=1,
+                           origin=(float(xs_c[0]), float(zs_c[0])))
+    else:
+        fine_dims = dict(Nx=len(fx), Ny=len(fx), Nz=len(fz),
+                         origin=(float(fx[0]), float(fx[0]), float(fz[0])))
+        coarse_dims = dict(Nx=len(xs_c), Ny=len(xs_c), Nz=len(zs_c),
+                           origin=(float(xs_c[0]), float(xs_c[0]),
+                                   float(zs_c[0])))
+
+    ntc_shaped = ntc_flat.reshape(nt_coarse.shape)
+    if dim == 2:
+        mirror_c = _build_mirror_block(cfg, ntc_shaped, pos_coarse, st_c)
+    else:
+        # the 3D coarse block is a full uniform domain lattice (the fine
+        # zone's deactivated interior is far from the tube wall), so the
+        # uniform grid's z-invariant mirror builder applies directly
+        from .grid import _build_mirror_table
+        mirror_c = _build_mirror_table(
+            _coarse_cfg(cfg), ntc_shaped, pos_coarse, coarse_dims["origin"],
+            coarse_dims["Nx"], coarse_dims["Ny"], coarse_dims["Nz"], st_c)
 
     fine_grid = Grid(
-        dim=2, Nx=len(fx), Ny=len(fy), Nz=1, dx=dx_f, delta=delta_f, m=m,
-        origin=(float(fx[0]), float(fy[0])), R_wire=cfg.R_wire,
-        L_wire=cfg.L_wire, R_tube=cfg.R_tube,
+        dim=dim, dx=dx_f, delta=delta_f, m=m, **fine_dims,
+        R_wire=cfg.R_wire, L_wire=cfg.L_wire, R_tube=cfg.R_tube,
         node_type=ntf_flat.reshape(nt_fine.shape), pos=pos_fine,
         stencil=st_f,
         mirror_idx=np.full(nt_fine.shape, -1, np.int32),  # no walls in zone
     )
     coarse_grid = Grid(
-        dim=2, Nx=len(xs_c), Ny=len(ys_c), Nz=1, dx=dx_c, delta=delta_c, m=m,
-        origin=(float(xs_c[0]), float(ys_c[0])), R_wire=cfg.R_wire,
-        L_wire=cfg.L_wire, R_tube=cfg.R_tube,
-        node_type=ntc_flat.reshape(nt_coarse.shape), pos=pos_coarse,
+        dim=dim, dx=dx_c, delta=delta_c, m=m, **coarse_dims,
+        R_wire=cfg.R_wire, L_wire=cfg.L_wire, R_tube=cfg.R_tube,
+        node_type=ntc_shaped, pos=pos_coarse,
         stencil=st_c,
-        mirror_idx=_build_mirror_block(
-            cfg, ntc_flat.reshape(nt_coarse.shape), pos_coarse, st_c),
+        mirror_idx=mirror_c,
     )
 
     node_type = np.concatenate([ntf_flat, ntc_flat])
@@ -271,14 +321,15 @@ def build_amr_block_grid(cfg: Config) -> ABGrid:
 
     n_real_f = real_fine.size
     n_real_c = real_coarse.size
+    blk = ("x".join(str(s) for s in fine_grid.shape) + " + "
+           + "x".join(str(s) for s in coarse_grid.shape))
     print(f"AMR(blocks): {n_real_f} fine, {n_real_c} coarse, {nf_rows} "
-          f"fictitious nodes; blocks {fine_grid.Ny}x{fine_grid.Nx} + "
-          f"{coarse_grid.Ny}x{coarse_grid.Nx}"
+          f"fictitious nodes; blocks {blk}"
           + (f" ({dropped_f + dropped_c} sourceless aux dropped)"
              if dropped_f + dropped_c else ""))
 
     return ABGrid(
-        dim=2, dx=dx_f, delta=delta_f, m=m, R_wire=cfg.R_wire,
+        dim=dim, dx=dx_f, delta=delta_f, m=m, R_wire=cfg.R_wire,
         L_wire=cfg.L_wire, R_tube=cfg.R_tube,
         fine_grid=fine_grid, coarse_grid=coarse_grid,
         pos=pos, node_type=node_type, dx_local=dx_local,
@@ -336,13 +387,13 @@ def _build_mirror_block(cfg, nt, pos, stencil):
     return mirror.reshape(shape)
 
 
-def _classify_block(cfg, px, py, m_local, dx_local):
+def _classify_block(cfg, px, py, pz, m_local, dx_local):
     """Classification at the block's local spacing (grid.cpp:302-338) —
     same predicate as amr._classify."""
     c = copy.copy(cfg)
     c.dx = dx_local
     c.m_ratio = m_local
-    return _classify(c, px, py, np.zeros_like(px))
+    return _classify(c, px, py, pz)
 
 
 # ---------------------------------------------------------------------------
@@ -377,11 +428,11 @@ class BKit:
 
     @property
     def dim(self) -> int:
-        return 2
+        return self.fine.dim
 
     @property
     def axial_comp(self) -> int:
-        return 1
+        return self.fine.axial_comp
 
 
 def build_bkit(grid: ABGrid, cfg: Config, dtype: str | None = None) -> BKit:
