@@ -27,6 +27,10 @@ _IO_KEYS = frozenset({
     # loop-cadence caps: they shape how the run proceeds from here, not
     # whether the stored state is compatible with this grid/physics
     "flow_max_iters", "flow_max_iters_resolve", "flow_output_stride",
+    # initial-solve warm start: only moves the starting point of a solve
+    # that runs to the same convergence gate; resumed runs never redo the
+    # initial solve anyway
+    "flow_warm_start",
     "corrosion_steps_per_check", "dissolution_batch",
     "implicit_fused_chunk", "coupled_fused_cycles",
     "coupled_launch_steps", "coupled_launch_flow_iters",

@@ -161,6 +161,16 @@ class Config:
     # sits above flow_conv_tol, so uncapped re-solves burn the full
     # flow_max_iters budget every cycle.
     flow_max_iters_resolve: int = 0
+    # Coarse-grid warm start for the INITIAL steady flow solve: solve the
+    # same problem on a dx*N grid first (8x fewer nodes in 3D, larger CFL
+    # dt, ~5 % of the fine solve's cost), trilinearly interpolate
+    # (rho, vel) onto the fine lattice, and start the fine solve from
+    # there. The convergence gate is UNCHANGED (eps < flow_conv_tol,
+    # pd_ns.cpp:273-322 cadence) — the warm start only moves the starting
+    # point closer to the fixed point; the wake structure the cold start
+    # spends thousands of iterations developing is already present.
+    # Value = coarsening ratio (2 typical); 0 = off (reference behavior).
+    flow_warm_start: int = 0
     # Exit the implicit inner loop when this many solid nodes are below
     # C_thresh (1 = the reference's exit-at-first-dissolution,
     # coupling.cpp:174-213). At 3D scale (30k+ surface nodes) dissolution
@@ -251,7 +261,7 @@ class Config:
             "implicit_output_every", "diagnostic_every", "newton_max_iter",
             "channel_flow_corrections", "use_amr", "amr_ratio",
             "dim", "checkpoint_every", "gs_parity", "legacy_3d_constants",
-            "flow_output_stride", "flow_max_iters_resolve",
+            "flow_output_stride", "flow_max_iters_resolve", "flow_warm_start",
             "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
             "implicit_fused_chunk", "coupled_fused_cycles",
             "coupled_launch_steps", "coupled_launch_flow_iters",

@@ -656,6 +656,10 @@ class CoupledSolver:
                 cap = (cfg.flow_max_iters_resolve
                        if is_resolve and cfg.flow_max_iters_resolve > 0
                        else None)
+                if (not is_resolve and cfg.flow_warm_start
+                        and not cfg.use_amr):
+                    from .solvers import coarse_warm_start
+                    state, _ = coarse_warm_start(state, grid, kit, cfg)
                 state, iters, eps, conv, div = solve_steady(
                     state, kit, verbose=verbose_flow, max_iters=cap)
                 state = ops.update_fictitious(state, kit)  # coupling.cpp:139

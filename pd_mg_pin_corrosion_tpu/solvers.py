@@ -204,6 +204,80 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False,
     return st, iters, eps, conv, div
 
 
+def coarse_warm_start(state: State, grid, kit: Kit, cfg):
+    """Coarse-grid warm start for the INITIAL steady flow solve
+    (cfg.flow_warm_start = coarsening ratio; uniform structured grids).
+
+    The cold start costs thousands of iterations developing the wake
+    around the wire from a plain Poiseuille profile (pd_ns.cpp:182-339 at
+    flagship scale: ~6,400). The same wake develops on a dx*N grid for
+    ~N^(dim+1)-fold less work (N^dim fewer nodes, CFL dt scales with dx),
+    so: solve steady flow on the coarse twin of the SAME geometry, then
+    trilinearly interpolate (rho, vel) onto the fine lattice as the fine
+    solve's starting point. Only FLUID nodes are overwritten — solid,
+    wall, inlet/outlet and OUTSIDE keep their initialization (BCs rebuild
+    them every iteration anyway). The fine solve's convergence gate is
+    UNCHANGED; the converged answer is the same within flow_conv_tol.
+
+    Returns (state, coarse_iters). No-op (state, 0) if the coarse solve
+    diverges or the geometry degenerates at the coarse spacing.
+    """
+    import copy as _copy
+
+    import numpy as np
+    from scipy.ndimage import map_coordinates
+
+    from .fields import initialize_state
+    from .grid import build_grid
+    from .kit import build_kit
+
+    ratio = int(cfg.flow_warm_start)
+    ccfg = _copy.copy(cfg)
+    ccfg.dx = cfg.dx * ratio
+    ccfg.use_amr = 0
+    ccfg.flow_warm_start = 0
+    ccfg.compute_derived()
+
+    cgrid = build_grid(ccfg)
+    # degenerate coarse geometry (e.g. the wire thinner than dx_coarse)
+    if not (cgrid.node_type == 1).any():  # SOLID_MG
+        print("  Warm start skipped: no solid nodes at coarse spacing")
+        return state, 0
+    ckit = build_kit(cgrid, ccfg, dtype=kit.dtype)
+    cstate = initialize_state(cgrid, ccfg, grains=None, dtype=kit.jdtype)
+
+    cstate, it, eps, conv, div = solve_steady(cstate, ckit)
+    if bool(div):
+        print("  Warm start skipped: coarse solve diverged")
+        return state, 0
+    print(f"  Warm start: coarse ({ratio}x dx, {cgrid.N_total} nodes) solve "
+          f"{int(it)} iters, eps={float(eps):.3e}, converged={bool(conv)}")
+
+    # trilinear sample of the coarse fields at the fine node positions
+    # (host, one-time). Coarse index space: i_d = (pos_d - origin_d) / dx_c.
+    pos = grid.pos  # [..., dim], components (x, y[, z])
+    coords = [
+        (pos[..., d] - cgrid.origin[d]) / ccfg.dx
+        for d in range(grid.dim)
+    ][::-1]  # array layout is [z,]y,x -> reverse component order
+
+    def interp(a):
+        return map_coordinates(np.asarray(a, np.float64), coords,
+                               order=1, mode="nearest")
+
+    rho_i = interp(cstate.rho)
+    vel_i = np.stack([interp(cstate.vel[..., d]) for d in range(grid.dim)],
+                     axis=-1)
+
+    fluid = np.asarray(state.node_type) == FLUID
+    rho = np.where(fluid, rho_i, np.asarray(state.rho, np.float64))
+    vel = np.where(fluid[..., None], vel_i, np.asarray(state.vel, np.float64))
+    ops = ops_for(kit)
+    rho_j = jnp.asarray(rho, kit.jdtype)
+    return replace(state, rho=rho_j, vel=jnp.asarray(vel, kit.jdtype),
+                   pressure=jax.jit(ops.tait_pressure)(rho_j, kit)), int(it)
+
+
 def poiseuille_l2_error(state: State, grid, cfg) -> float:
     """Poiseuille validation at the upstream station (pd_ns.cpp:341-368).
 

@@ -130,6 +130,56 @@ def test_ns_step_against_numpy_oracle():
     np.testing.assert_allclose(out_vel[sample], vel_new[sample], rtol=1e-12, atol=1e-18)
 
 
+def wire_cfg():
+    """Small 2D flow-cell WITH a wire, so the initial solve has a wake to
+    develop (the warm start's target workload)."""
+    cfg = Config()
+    cfg.dx = 2.5e-6
+    cfg.R_wire = 15e-6
+    cfg.L_wire = 40e-6
+    cfg.R_tube = 60e-6
+    cfg.L_upstream = 60e-6
+    cfg.L_downstream = 60e-6
+    cfg.c0 = 5.0
+    cfg.flow_max_iters = 30000
+    cfg.precision = "f64"
+    return cfg.compute_derived()
+
+
+@pytest.mark.slow
+def test_coarse_warm_start_same_answer():
+    """cfg.flow_warm_start is a CORRECTNESS-neutral knob: the warm-started
+    fine solve must converge by the UNCHANGED eps gate to the same flow
+    field as the cold start. (Iteration-count benefit is geometry-dependent
+    — on this small 2D cell the acoustic transient re-excited by the
+    interpolated field cancels the head start; see the flow_warm_start
+    config comment for where it pays.)"""
+    from pd_mg_pin_corrosion_tpu.solvers import coarse_warm_start
+
+    cfg = wire_cfg()
+    grid = build_grid(cfg)
+    kit = build_kit(grid, cfg)
+    state0 = initialize_state(grid, cfg, dtype=jnp.float64)
+
+    st_cold, it_cold, eps_c, conv_c, div_c = solve_steady(state0, kit)
+    assert bool(conv_c) and not bool(div_c)
+
+    cfg.flow_warm_start = 2
+    state_w, coarse_iters = coarse_warm_start(state0, grid, kit, cfg)
+    assert coarse_iters > 0  # coarse solve actually ran
+    st_warm, it_warm, eps_w, conv_w, div_w = solve_steady(state_w, kit)
+    assert bool(conv_w) and not bool(div_w)
+
+    # same converged answer (both passed the same eps < flow_conv_tol gate)
+    v_c = np.asarray(st_cold.vel)
+    v_w = np.asarray(st_warm.vel)
+    fluid = grid.node_type == FLUID
+    num = np.sqrt(((v_c - v_w)[fluid] ** 2).sum())
+    den = np.sqrt((v_c[fluid] ** 2).sum())
+    assert num / den < 0.05, f"warm/cold fields differ: {num / den:.3e}"
+
+
+@pytest.mark.slow
 def test_steady_poiseuille():
     """End-to-end: flow converges and matches the analytic profile."""
     cfg = poiseuille_cfg()
