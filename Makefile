@@ -1,9 +1,14 @@
 # Convenience targets. NOTE: on the axon TPU image, run CPU-only python with
 # PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu to avoid contending with a TPU job.
 
-.PHONY: test test-fast bench validate3d native clean
+.PHONY: test test-all test-fast bench validate3d native clean
 
+# default tier: everything but the multi-minute trajectory/golden runs
+# (~5-8 min); test-all adds the @pytest.mark.slow tier (~1 h)
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -q
 
 test-fast:

@@ -14,6 +14,7 @@ from dataclasses import replace
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pd_mg_pin_corrosion_tpu import (FLUID, SOLID_MG, Config, build_grid,
                                      build_kit, initialize_state)
@@ -193,6 +194,7 @@ def test_3d_subcell_mirror_oracle():
                                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_3d_flow_bounded():
     """Short 3D flow run stays bounded with eta_density=1.0."""
     cfg = cfg3d()
@@ -221,6 +223,7 @@ def test_3d_flow_bounded():
     assert 0.9 * cfg.rho_f < rho.min() and rho.max() < 1.1 * cfg.rho_f
 
 
+@pytest.mark.slow
 def test_3d_transport_and_phase_change():
     cfg = cfg3d()
     grid = build_grid(cfg)

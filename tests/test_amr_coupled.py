@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pd_mg_pin_corrosion_tpu import unstructured as u
 from pd_mg_pin_corrosion_tpu.amr import build_amr_grid
@@ -121,6 +122,7 @@ def test_amr_coupled_run_block_backend(tmp_path):
     assert len(rows) > 1
 
 
+@pytest.mark.slow
 def test_amr_block_coupled_fused_cycles_matches_host(tmp_path):
     """coupled_fused_cycles on the block-structured AMR backend (the
     production AMR path) must reproduce the host-driven cycle loop's

@@ -48,6 +48,7 @@ def run_solver(cfg):
     return grid, kit, solver, final
 
 
+@pytest.mark.slow
 def test_coupled_implicit_run(tmp_path):
     cfg = coupled_cfg(tmp_path, use_implicit=1)
     grid, kit, solver, final = run_solver(cfg)
@@ -83,6 +84,7 @@ def test_coupled_implicit_run(tmp_path):
     assert float(d[0]) == pytest.approx(losses[-1], rel=1e-6)
 
 
+@pytest.mark.slow
 def test_coupled_explicit_run(tmp_path):
     cfg = coupled_cfg(tmp_path, use_implicit=0)
     cfg.T_final = 0.02
@@ -144,6 +146,7 @@ def test_checkpoint_fingerprint_mismatch_refused(tmp_path):
         load_checkpoint(path, state, fp_bad)
 
 
+@pytest.mark.slow
 def test_coupled_resume(tmp_path):
     """checkpoint_every + resume_from through the orchestrator (new
     capability; the reference restarts from t=0)."""
@@ -174,6 +177,7 @@ def test_coupled_resume(tmp_path):
     assert np.isfinite(np.asarray(final2.C)).all()
 
 
+@pytest.mark.slow
 def test_resume_in_place_preserves_history(tmp_path):
     """Resuming in the SAME output dir must append to the existing
     diagnostics/mass_loss curves and PVD collection, not truncate them,

@@ -3,8 +3,12 @@ trajectory- and CSV-identical to the reference-style step-at-a-time host
 loop (coupling.cpp:174-213 exit semantics, evaluated on device)."""
 
 import numpy as np
+import pytest
 
 from tests.test_coupling import coupled_cfg, run_solver
+
+# full coupled-trajectory comparisons, ~2 min each (slow tier)
+pytestmark = pytest.mark.slow
 
 
 def test_fused_chunk_matches_host_loop(tmp_path):
