@@ -22,9 +22,15 @@ validate3d:
 	python scripts/validate_3d_tpu.py save
 	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/validate_3d_tpu.py check
 
+# Mosaic lowering of the shard_map'd Pallas kernels on a real TPU mesh,
+# asserted bitwise-equal to the single-device kernels (the CPU-mesh tests
+# run these through the interpreter only)
+validate-shard:
+	python scripts/validate_shard_tpu.py
+
 # bench runs the 3D op acceptance sweep first (a regression there would
 # invalidate any benchmark number), then the timed benchmark
-bench: validate3d
+bench: validate3d validate-shard
 	python bench.py
 
 bench-only:
