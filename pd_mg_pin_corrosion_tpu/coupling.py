@@ -557,6 +557,12 @@ class CoupledSolver:
                     # assemble (phase 0 rebuilds it on device before use)
                     fused_op = assemble_operator(
                         state, kit, volume_loss_fraction(state, kit))
+                    # first-launch marker: the chunk compile at production
+                    # sizes is many minutes of otherwise-silent XLA work,
+                    # and watchdogs key off log growth
+                    print("Launching fused coupled-cycles chunk "
+                          "(first launch compiles; may take minutes at "
+                          "production sizes)...", flush=True)
                 t_ph = time.time()
                 # force the launch to end AT the cycle boundary where a
                 # checkpoint falls due (cycle-boundary-only saves would

@@ -12,9 +12,14 @@ set -u
 OUT=${1:?output_dir}
 LOG=${2:?log path}
 shift 2
-STALL_LIMIT=${STALL_LIMIT:-900}   # s of no log growth before kill (cold
-                                  # compile at 1M is ~10 min, cached after)
+STALL_LIMIT=${STALL_LIMIT:-2700}  # s of no log growth before kill. The
+                                  # fused coupled-cycles chunk compile at 1M
+                                  # is 15-30 min of SILENCE on a cold cache
+                                  # (killed a round-5 attempt at the old
+                                  # 900 s limit); cached after.
 POLL=30
+export PYTHONUNBUFFERED=1         # block-buffered stdout defeats the
+                                  # log-mtime stall detector
 cd "$(dirname "$0")/.."
 
 attempt=0
