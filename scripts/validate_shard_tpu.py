@@ -81,6 +81,7 @@ def main() -> int:
         mesh = make_mesh(n_mesh, devices=tpus)
         kit_sh = shard_kit(kit, mesh)
         state_sh = shard_state(state, mesh)
+        print(f"  setup done: shape {kit.shape}", flush=True)
         return kit, state, kit_sh, state_sh
 
     def check(name, out, ref):
@@ -102,12 +103,18 @@ def main() -> int:
               f"(shape {kit.shape}, Mosaic lowering ON):")
 
         dt = float(jax.jit(compute_dt)(state, kit))
+        print(f"  dt computed ({dt:.3e}); compiling single-device NS kernel...",
+              flush=True)
         ref = (pk.ns_step_pallas(state, kit, dt) if dim == 2
                else pk.ns_step_pallas_3d(state, kit, dt))
+        np.asarray(ref.rho)  # fence the reference kernel
+        print("  single-device NS done; compiling sharded NS kernel...",
+              flush=True)
         out = sk.ns_step_sharded(state_sh, kit_sh, dt)
         check(f"ns_step_sharded_{dim}d.rho", out.rho, ref.rho)
         check(f"ns_step_sharded_{dim}d.vel", out.vel, ref.vel)
 
+        print("  assembling implicit operator...", flush=True)
         op = jax.jit(ai.assemble)(state, kit, 0.1)
         x = (state.C + 0.3 * kit.v_pois.astype(jnp.float32))
         # single-device reference through the same Pallas kernels
