@@ -260,7 +260,7 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
             "exit_flow": exit_flow,
         }
 
-    def inner_step(c):
+    def _one_inner(c):
         state, dt, n_below, res, diag = _implicit_inner_core(
             c["state"], c["op"], kit)
         t = c["t"] + dt.astype(f64)
@@ -283,6 +283,21 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
             .astype(jnp.int32),
             "exit_output": (gstep % output_every) == 0,
         }
+
+    def inner_step(c):
+        """The whole inner-step window in ONE switch dispatch: a nested
+        while_loop over _one_inner that exits at EXACTLY the conditions
+        the outer cond would stop a per-step dispatch at (phase leaves
+        _PH_INNER, the step budget is exhausted, or a step lands on the
+        VTI output cadence). Per-step switch dispatch measured +10.4 ms/
+        step at 1M nodes (scripts/profile_fused_machine.py) — XLA copies
+        the big carried buffers (op, state) across the 3-way switch every
+        micro-op; the nested pure while_loop passes them through without
+        copies, so the tax is paid once per window instead of per step."""
+        def w_cond(s):
+            return ((s["phase"] == _PH_INNER) & (s["steps"] < step_cap)
+                    & ~s["exit_output"])
+        return jax.lax.while_loop(w_cond, _one_inner, c)
 
     def phase_change(c):
         state, n_dissolved = ops.apply_phase_change(c["state"], kit)

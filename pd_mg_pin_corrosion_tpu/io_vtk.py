@@ -69,36 +69,65 @@ class VTKWriter:
             return self._write_binary(filename, grid, state, cfg)
         return self._write_ascii(filename, grid, state, cfg)
 
-    def _vti_arrays(self, grid, state):
-        """(name, dtype-tag, data) tuples in the reference's array order."""
+    def _vti_arrays(self, grid, state, filename=None):
+        """(name, dtype-tag, data) tuples in the reference's array order.
+
+        The float fields cross device->host as ONE packed array (and the
+        uint8 flags as a second): under the axon TPU relay each transfer
+        is a full round trip, and the previous ten separate np.asarray
+        calls (plus four more in the NaN audit) cost ~2.5 s/snapshot at
+        1M nodes. The pack keeps the state's own float dtype, so the
+        serialized float64 payload is bit-identical to the per-array
+        fetch path. The NaN audit (same positions-counting semantics as
+        _nan_audit) runs on the fetched pack when ``filename`` is given.
+        """
+        import jax.numpy as jnp
+
         dim = grid.dim
-        nt = np.asarray(state.node_type).ravel()
+        n = state.rho.size
+        fpack = np.asarray(jnp.concatenate(
+            [jnp.reshape(state.vel, (n, dim))]
+            + [jnp.reshape(a, (n, 1)) for a in
+               (state.pressure, state.rho, state.C, state.D_map)],
+            axis=1), np.float64)
+        upack = np.asarray(jnp.stack(
+            [jnp.reshape(jnp.asarray(a), (n,)) for a in
+             (state.phase, state.node_type, state.is_gb, state.is_precip)],
+            axis=1).astype(jnp.uint8))
+        gid = np.asarray(state.grain_id, np.int32).reshape(n)
+
+        if filename is not None:
+            n_nan = int(np.isnan(fpack[:, :dim]).any(axis=1).sum())
+            n_nan += int(np.isnan(fpack[:, dim:dim + 3]).any(axis=1).sum())
+            if n_nan > 0:
+                print(f"WARNING: {n_nan} NaN values detected when writing "
+                      f"{filename}", file=sys.stderr)
+
+        nt = upack[:, 1]
         fictitious = (nt == 2) | (nt == 5)  # WALL | OUTSIDE zeroed for viz
-        vel = np.asarray(state.vel).reshape(-1, dim).astype(np.float64)
-        vel3 = np.zeros((vel.shape[0], 3))
-        vel3[:, :dim] = _safe(vel)
+        vel3 = np.zeros((n, 3))
+        vel3[:, :dim] = _safe(fpack[:, :dim])
         vel3[fictitious] = 0.0
         return [
             ("velocity", "Float64", vel3),
-            ("pressure", "Float64", _safe(np.asarray(state.pressure, np.float64)).ravel()),
-            ("density", "Float64", _safe(np.asarray(state.rho, np.float64)).ravel()),
-            ("concentration", "Float64", _safe(np.asarray(state.C, np.float64)).ravel()),
-            ("phase", "UInt8", np.asarray(state.phase).ravel().astype(np.uint8)),
-            ("node_type", "UInt8", nt.astype(np.uint8)),
-            ("grain_id", "Int32", np.asarray(state.grain_id).ravel().astype(np.int32)),
-            ("D_map", "Float64", _safe(np.asarray(state.D_map, np.float64)).ravel()),
-            ("is_grain_boundary", "UInt8", np.asarray(state.is_gb).ravel().astype(np.uint8)),
-            ("is_precipitate", "UInt8", np.asarray(state.is_precip).ravel().astype(np.uint8)),
+            ("pressure", "Float64", _safe(fpack[:, dim])),
+            ("density", "Float64", _safe(fpack[:, dim + 1])),
+            ("concentration", "Float64", _safe(fpack[:, dim + 2])),
+            ("phase", "UInt8", upack[:, 0]),
+            ("node_type", "UInt8", nt),
+            ("grain_id", "Int32", gid),
+            ("D_map", "Float64", _safe(fpack[:, dim + 3])),
+            ("is_grain_boundary", "UInt8", upack[:, 2]),
+            ("is_precipitate", "UInt8", upack[:, 3]),
         ]
 
     def _write_binary(self, filename: str, grid, state, cfg) -> None:
         """VTK XML ImageData with appended raw binary payload."""
-        _nan_audit(state, filename)
         dim = grid.dim
         nx, ny = grid.Nx, grid.Ny
         nz = grid.Nz if dim == 3 else 1
         oz = grid.origin[2] if dim == 3 else 0.0
-        arrays = self._vti_arrays(grid, state)
+        arrays = self._vti_arrays(grid, state, filename)
 
         head = io.StringIO()
         head.write('<?xml version="1.0"?>\n')
