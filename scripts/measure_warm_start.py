@@ -27,6 +27,13 @@ def main() -> int:
     import jax.numpy as jnp
 
     jax.config.update("jax_enable_x64", True)
+    # same persistent compile cache as cli.py — without it the big solve
+    # graphs recompile from scratch (~minutes each) and poison wall timings
+    cache_dir = os.environ.get("PD_TPU_CACHE",
+                               os.path.expanduser("~/.pd_tpu_jit_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from pd_mg_pin_corrosion_tpu.config import Config
     from pd_mg_pin_corrosion_tpu.fields import initialize_state
