@@ -170,6 +170,12 @@ class Config:
     # point closer to the fixed point; the wake structure the cold start
     # spends thousands of iterations developing is already present.
     # Value = coarsening ratio (2 typical); 0 = off (reference behavior).
+    # Measured on the flagship 1M grid (scripts/measure_warm_start.py):
+    # fine-solve iterations 6,500 -> 3,700 (1.76x), converged fields agree
+    # to rel-L2 5.9e-3 (both inside the same eps gate). Off by default
+    # because the initial solve is only ~4 % of the flagship run's wall
+    # (the implicit transport dominates), so the ~45 % iteration saving
+    # nets only seconds there — the knob exists for flow-heavy workloads.
     flow_warm_start: int = 0
     # Exit the implicit inner loop when this many solid nodes are below
     # C_thresh (1 = the reference's exit-at-first-dissolution,
