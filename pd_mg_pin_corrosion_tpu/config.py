@@ -176,6 +176,9 @@ class Config:
     # because the initial solve is only ~4 % of the flagship run's wall
     # (the implicit transport dominates), so the ~45 % iteration saving
     # nets only seconds there — the knob exists for flow-heavy workloads.
+    # Also honored by the block-AMR backend (the coarse solve is uniform
+    # at dx*ratio either way); the AMR runs' initial solve is ~25 % of
+    # their wall (docs/ROADMAP.md round-4 #5), where this actually pays.
     flow_warm_start: int = 0
     # Exit the implicit inner loop when this many solid nodes are below
     # C_thresh (1 = the reference's exit-at-first-dissolution,

@@ -677,8 +677,12 @@ class CoupledSolver:
                 cap = (cfg.flow_max_iters_resolve
                        if is_resolve and cfg.flow_max_iters_resolve > 0
                        else None)
+                # warm start: uniform grids and the block-AMR backend (the
+                # interpolation only needs grid.pos; the gather backend's
+                # per-node tables are not worth the extra path)
+                from .dispatch import is_block
                 if (not is_resolve and cfg.flow_warm_start
-                        and not cfg.use_amr):
+                        and (not cfg.use_amr or is_block(kit))):
                     from .solvers import coarse_warm_start
                     state, _ = coarse_warm_start(state, grid, kit, cfg)
                 state, iters, eps, conv, div = solve_steady(

@@ -206,7 +206,10 @@ def solve_steady(state: State, kit: Kit, verbose: bool = False,
 
 def coarse_warm_start(state: State, grid, kit: Kit, cfg):
     """Coarse-grid warm start for the INITIAL steady flow solve
-    (cfg.flow_warm_start = coarsening ratio; uniform structured grids).
+    (cfg.flow_warm_start = coarsening ratio; uniform structured grids and
+    the block-AMR backend — the coarse solve is always uniform at
+    cfg.dx * ratio, and the interpolation below only needs grid.pos,
+    which both layouts expose ([..., dim] structured, [N, dim] flat).
 
     The cold start costs thousands of iterations developing the wake
     around the wire from a plain Poiseuille profile (pd_ns.cpp:182-339 at

@@ -9,7 +9,9 @@ script times BOTH paths end-to-end (coarse solve + interpolation
 included in the warm figure) under the production convergence gate and
 checks the two converged fields agree.
 
-Usage: python scripts/measure_warm_start.py   (on the TPU host, alone)
+Usage: python scripts/measure_warm_start.py [config]   (TPU host, alone)
+Default config: config/params_3d.cfg. AMR configs (e.g. params_amr.cfg)
+use the block backend, where the initial solve is ~25 % of the run wall.
 """
 
 import json
@@ -41,14 +43,23 @@ def main() -> int:
     from pd_mg_pin_corrosion_tpu.kit import build_kit
     from pd_mg_pin_corrosion_tpu.solvers import coarse_warm_start, solve_steady
 
-    cfg = Config.load("config/params_3d.cfg")
+    cfg_path = sys.argv[1] if len(sys.argv) > 1 else "config/params_3d.cfg"
+    cfg = Config.load(cfg_path)
     cfg.precision = "f32"
     cfg.output_dir = "/tmp/measure_warm"
     cfg.compute_derived()
 
-    grid = build_grid(cfg)
-    kit = build_kit(grid, cfg)
-    state0 = initialize_state(grid, cfg, dtype=kit.jdtype)
+    # same backend selection as cli.py: AMR configs use the block backend
+    if cfg.use_amr and cfg.amr_backend == "structured":
+        from pd_mg_pin_corrosion_tpu import amr_blocks as ab
+
+        grid = ab.build_amr_block_grid(cfg)
+        kit = ab.build_bkit(grid, cfg)
+        state0 = ab.initialize_state_b(grid, cfg, dtype=kit.jdtype)
+    else:
+        grid = build_grid(cfg)
+        kit = build_kit(grid, cfg)
+        state0 = initialize_state(grid, cfg, dtype=kit.jdtype)
 
     def fence(st):
         return float(jnp.sum(st.rho.astype(jnp.float32)))

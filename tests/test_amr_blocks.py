@@ -213,3 +213,53 @@ def test_block_advection_diffusion_golden():
     C_peak = float(C[fluid].max())
     assert l2_ana == pytest.approx(4.4286e-01, rel=2e-3)
     assert C_peak == pytest.approx(0.8370, rel=2e-3)
+
+
+@pytest.mark.slow
+def test_block_warm_start_same_answer():
+    """cfg.flow_warm_start on the block-AMR backend is correctness-neutral:
+    the warm-started steady solve converges by the UNCHANGED eps gate to
+    the same flow field as the cold start (same contract as the uniform
+    path's test_flow.py::test_coarse_warm_start_same_answer)."""
+    from pd_mg_pin_corrosion_tpu.config import Config
+    from pd_mg_pin_corrosion_tpu.solvers import coarse_warm_start, solve_steady
+
+    # scaled-down params_amr.cfg (same wire/ratio/buffer, coarser dx and a
+    # shorter, narrower cell): cold solve converges in ~26k iters; probed
+    # 2026-08-20 — cold 25,700 iters / warm 11,800 coarse + 17,400 fine,
+    # fields rel-L2 2.1e-2
+    cfg = Config()
+    cfg.dx = 5.0e-6
+    cfg.R_wire = 40e-6
+    cfg.L_wire = 100e-6
+    cfg.R_tube = 150e-6
+    cfg.L_upstream = 120e-6
+    cfg.L_downstream = 120e-6
+    cfg.c0 = 0.5
+    cfg.cfl_factor = 0.05
+    cfg.flow_max_iters = 60000
+    cfg.use_amr = 1
+    cfg.amr_ratio = 3
+    cfg.amr_buffer = 50.0e-6
+    cfg.precision = "f64"
+    cfg.compute_derived()
+
+    grid = ab.build_amr_block_grid(cfg)
+    kit = ab.build_bkit(grid, cfg)
+    state0 = ab.initialize_state_b(grid, cfg, dtype=jnp.float64)
+
+    st_cold, it_cold, eps_c, conv_c, div_c = solve_steady(state0, kit)
+    assert bool(conv_c) and not bool(div_c)
+
+    cfg.flow_warm_start = 3
+    state_w, coarse_iters = coarse_warm_start(state0, grid, kit, cfg)
+    assert coarse_iters > 0  # coarse uniform solve actually ran
+    st_warm, it_warm, eps_w, conv_w, div_w = solve_steady(state_w, kit)
+    assert bool(conv_w) and not bool(div_w)
+
+    v_c = np.asarray(st_cold.vel)
+    v_w = np.asarray(st_warm.vel)
+    fluid = grid.node_type == FLUID
+    num = np.sqrt(((v_c - v_w)[fluid] ** 2).sum())
+    den = np.sqrt((v_c[fluid] ** 2).sum())
+    assert num / den < 0.05, f"warm/cold fields differ: {num / den:.3e}"
