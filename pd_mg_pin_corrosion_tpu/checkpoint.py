@@ -91,9 +91,12 @@ def save_checkpoint(path: str, state: State, t_corr: float, meta: dict,
     arrays = {f.name: np.asarray(getattr(state, f.name))
               for f in dataclasses.fields(State)}
     tmp = path + ".tmp"
-    np.savez_compressed(tmp, t_corr=t_corr, meta=json.dumps(meta),
-                        fingerprint=fp, fp_grid=fp_grid, cfg_json=cfg_json,
-                        **arrays)
+    # uncompressed: zlib over ~50 MB of 1M-node state costs seconds per
+    # save (14+ saves per flagship run), the rotating single file makes
+    # the 2-3x size irrelevant, and np.load reads both formats
+    np.savez(tmp, t_corr=t_corr, meta=json.dumps(meta),
+             fingerprint=fp, fp_grid=fp_grid, cfg_json=cfg_json,
+             **arrays)
     # numpy appends .npz to names without it
     actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
     os.replace(actual_tmp, path)

@@ -648,6 +648,10 @@ class CoupledSolver:
                 if (cfg.checkpoint_every and n_cyc > 0 and fused_phase == 0
                         and cycle - ckpt_cycle >= cfg.checkpoint_every):
                     ckpt_cycle = cycle
+                    t_ph = time.time()
+                    # snapshots referenced by this checkpoint must be on
+                    # disk before it (async binary VTI writes)
+                    self.writer.flush()
                     save_checkpoint(
                         f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                         {"cycle": cycle,
@@ -656,6 +660,7 @@ class CoupledSolver:
                          "frame_count": self.frame_count,
                          "flow_solve_count": self.flow_solve_count},
                         fp, fp_grid=fp_grid, cfg_json=cfg_json)
+                    self._phase("checkpoint", t_ph)
 
                 if not bool(out["any_solid"]):
                     print(f"\n=== All solid nodes dissolved at "
@@ -843,6 +848,7 @@ class CoupledSolver:
             t_ph = time.time()
             if cfg.checkpoint_every and cycle % cfg.checkpoint_every == 0:
                 ckpt_cycle = cycle  # keep the fused-branch gate in sync
+                self.writer.flush()  # async VTI writes land before the save
                 save_checkpoint(f"{cfg.output_dir}/checkpoint.npz", state, t_corr,
                                 {"cycle": cycle,
                                  "total_implicit_steps": self.total_implicit_steps,
@@ -860,6 +866,9 @@ class CoupledSolver:
                 break
 
         self._write_state(cfg, grid, state, "final", t_corr, self.writer)
+        t_ph = time.time()
+        self.writer.flush()  # join the last async VTI write before exit
+        self._phase("io_vtk", t_ph)
         print(f"\n=== Simulation complete ===")
         print(f"  Final time: {t_corr:.1f} s ({t_corr / 3600.0:.2f} h)")
         total = time.time() - t_start

@@ -57,6 +57,20 @@ class VTKWriter:
     def __init__(self):
         self._pvd_path = ""
         self._entries: list[tuple[float, str]] = []
+        self._pending = None   # at most one in-flight background write
+        self._bg_err = None
+
+    # ------------------------------------------------------------------
+    def flush(self) -> None:
+        """Join the in-flight background VTI write (binary mode overlaps
+        serialization + disk write with device compute; checkpoints and
+        run exit must not outrun the snapshot files they reference)."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._bg_err is not None:
+            err, self._bg_err = self._bg_err, None
+            raise err
 
     # ------------------------------------------------------------------
     def write(self, filename: str, grid, state, cfg) -> None:
@@ -122,12 +136,35 @@ class VTKWriter:
         ]
 
     def _write_binary(self, filename: str, grid, state, cfg) -> None:
-        """VTK XML ImageData with appended raw binary payload."""
-        dim = grid.dim
-        nx, ny = grid.Nx, grid.Ny
-        nz = grid.Nz if dim == 3 else 1
-        oz = grid.origin[2] if dim == 3 else 0.0
+        """VTK XML ImageData with appended raw binary payload.
+
+        The device->host fetch (_vti_arrays) is synchronous; the ~90 MB
+        of host serialization + disk write runs on a background thread,
+        overlapped with the next device launch (at 1M nodes it is
+        ~1.5-2 s/snapshot of pure host work, 46+ snapshots per flagship
+        run). flush() joins it; at most one write is in flight."""
+        import threading
+
+        self.flush()
         arrays = self._vti_arrays(grid, state, filename)
+        dim = grid.dim
+        dims = (grid.Nx, grid.Ny, grid.Nz if dim == 3 else 1)
+        origin = (grid.origin[0], grid.origin[1],
+                  grid.origin[2] if dim == 3 else 0.0)
+
+        def bg():
+            try:
+                self._serialize_binary(filename, dims, origin, grid.dx,
+                                       arrays)
+            except BaseException as e:  # surfaced by the next flush()
+                self._bg_err = e
+
+        th = threading.Thread(target=bg, daemon=True)
+        th.start()
+        self._pending = th
+
+    def _serialize_binary(self, filename, dims, origin, dx, arrays) -> None:
+        nx, ny, nz = dims
 
         head = io.StringIO()
         head.write('<?xml version="1.0"?>\n')
@@ -135,8 +172,8 @@ class VTKWriter:
                    'byte_order="LittleEndian" header_type="UInt64">\n')
         head.write(
             f'  <ImageData WholeExtent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}"'
-            f' Origin="{grid.origin[0]:g} {grid.origin[1]:g} {oz:g}"'
-            f' Spacing="{grid.dx:g} {grid.dx:g} {grid.dx:g}">\n')
+            f' Origin="{origin[0]:g} {origin[1]:g} {origin[2]:g}"'
+            f' Spacing="{dx:g} {dx:g} {dx:g}">\n')
         head.write(f'    <Piece Extent="0 {nx - 1} 0 {ny - 1} 0 {nz - 1}">\n')
         head.write('      <PointData Scalars="phase" Vectors="velocity">\n')
         offset = 0
@@ -322,8 +359,16 @@ class VTKWriter:
                     t = float(m.group(1))
                     if t_max is None or t <= t_max + 1e-9:
                         entries.append((t, pvd_dir + m.group(2)))
-        self._entries = entries
-        return len(entries)
+        # a crash between the PVD rewrite and the (asynchronous) VTI file
+        # write can leave a trailing entry without its file; drop those
+        kept = [(t, f) for t, f in entries if os.path.exists(f)]
+        if len(kept) != len(entries):
+            print(f"WARNING: {len(entries) - len(kept)} PVD entr"
+                  f"{'y' if len(entries) - len(kept) == 1 else 'ies'} in "
+                  f"{filename} reference missing files; dropped",
+                  file=sys.stderr)
+        self._entries = kept
+        return len(kept)
 
     def add_timestep(self, time: float, vti_file: str) -> None:
         self._entries.append((time, vti_file))

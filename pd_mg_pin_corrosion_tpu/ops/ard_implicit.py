@@ -210,7 +210,7 @@ def matvec_M(op: ImplicitOperator, kit: Kit, x: jax.Array) -> jax.Array:
 
 def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
                   tol: float | None = None, restart: int = 50,
-                  maxiter: int = 200):
+                  maxiter: int = 200, x0=None):
     """Solve (I - dt*M) C_new = C_old with GMRES (pd_ard_implicit.cpp:371-429).
 
     Returns (new_state, residual_norm). BC rows are identity with b = current
@@ -316,7 +316,18 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         return from_s(e_s), info
 
     b = C_old
-    x_s, (res, _cycles) = gmres(A_s, to_s(b), to_s(C_old), tol=inner_tol,
+    # optional Krylov-saving initial guess (e.g. the caller's linear
+    # extrapolation 2*C_n - C_{n-1} at a near-constant dt): the solve is
+    # residual-controlled to the same tolerance either way, the better
+    # start just reaches it in fewer Arnoldi steps. Clamped to the
+    # physical range so an extrapolation overshoot cannot seed the basis
+    # with out-of-range values; BC rows must carry C_old (identity rows).
+    if x0 is None:
+        x0 = C_old
+    else:
+        x0 = jnp.where(op.unknown,
+                       jnp.clip(x0, 0.0, cfg.C_solid_init), C_old)
+    x_s, (res, _cycles) = gmres(A_s, to_s(b), to_s(x0), tol=inner_tol,
                                 restart=restart, maxiter=maxiter,
                                 M=precond_s, flat_kernels=flat)
     x = from_s(x_s)
