@@ -636,7 +636,7 @@ def _matvec_M64(op: ImplicitOperatorB, kit: BKit, x64):
 
 def implicit_step(state: State, op: ImplicitOperatorB, kit: BKit, dt,
                   tol: float | None = None, restart: int = 50,
-                  maxiter: int = 200):
+                  maxiter: int = 200, x0=None):
     """(I - dt*M) with identity BC rows and IDW constraint rows
     (pd_ard_implicit.cpp:371-429, 500-535), mixed-precision refinement in
     f32 mode — the same solve as unstructured.implicit_step over block
@@ -678,7 +678,11 @@ def implicit_step(state: State, op: ImplicitOperatorB, kit: BKit, dt,
     flat = gmres_basis_ok(kit, C_old.size)
 
     b = jnp.where(op.fict, 0.0, C_old)
-    x, (res, _cycles) = gmres(A, b, C_old, tol=inner_tol, restart=restart,
+    # optional Krylov-saving initial guess (see ops/ard_implicit): clamped
+    # to the physical range on unknown rows, C_old elsewhere
+    x0 = C_old if x0 is None else jnp.where(
+        op.unknown, jnp.clip(x0, 0.0, cfg.C_solid_init), C_old)
+    x, (res, _cycles) = gmres(A, b, x0, tol=inner_tol, restart=restart,
                               maxiter=maxiter, M=precond, flat_kernels=flat)
 
     if refine:

@@ -232,6 +232,16 @@ class Config:
     # against the relay deadline. 0 = uncapped.
     coupled_launch_steps: int = 0        # implicit steps per execution
     coupled_launch_flow_iters: int = 0   # flow iterations per execution
+    # Start each per-step GMRES from the linear extrapolation
+    # 2*C_n - C_{n-1} (clamped to [0, C_solid_init]) instead of C_n.
+    # Correctness-neutral: the solve is residual-controlled to the same
+    # tolerance either way (same scheme as the round-3 solver rework) —
+    # the better start just reaches it in fewer Arnoldi steps. At the
+    # production 3 s adaptive-dt floor consecutive steps are nearly
+    # uniform, where the extrapolation is most effective. 0 = off
+    # (reference semantics: Eigen GMRES starts from C_n,
+    # pd_ard_implicit.cpp:399-417).
+    implicit_extrapolate_x0: int = 0
     # VTI snapshot encoding: 0 = ASCII (byte-compatible with the
     # reference's vtk_writer.cpp), 1 = VTK XML appended-raw binary (~6x
     # smaller, ~50x faster serialization; a 1M-node ASCII VTI is ~130MB
@@ -274,6 +284,7 @@ class Config:
             "dissolution_batch", "wall_mirror_subcell", "vtk_binary",
             "implicit_fused_chunk", "coupled_fused_cycles",
             "coupled_launch_steps", "coupled_launch_flow_iters",
+            "implicit_extrapolate_x0",
         }
     )
     _STR_KEYS = frozenset({"output_dir", "precision", "resume_from",

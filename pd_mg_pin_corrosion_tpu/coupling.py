@@ -78,16 +78,24 @@ def assemble_operator(state: State, kit, vol_loss):
     return ops_for(kit).assemble(state, kit, vol_loss)
 
 
-def _implicit_inner_core(state: State, op, kit):
+def _implicit_inner_core(state: State, op, kit, C_prev=None):
     """One implicit corrosion step: adaptive dt -> BCs -> GMRES -> smoothing
     -> fictitious refresh (AMR) -> dissolution flag + diagnostics
-    (coupling.cpp:174-212)."""
+    (coupling.cpp:174-212).
+
+    ``C_prev`` (the concentration before the PREVIOUS step) enables the
+    cfg.implicit_extrapolate_x0 Krylov-saving GMRES start 2*C_n - C_{n-1};
+    callers that thread it hold the knob's gate — with the knob off the
+    graph is unchanged."""
     ops = ops_for(kit)
     dt = ops.compute_adaptive_dt(state, op, kit)
     state = ops.apply_inlet_bc(state, kit)
     state = ops.apply_outlet_bc(state, kit)
     state = ops.apply_wall_concentration_bc(state, kit)
-    state, res = ops.implicit_step(state, op, kit, dt)
+    x0 = None
+    if C_prev is not None and kit.cfg.implicit_extrapolate_x0:
+        x0 = 2.0 * state.C - C_prev
+    state, res = ops.implicit_step(state, op, kit, dt, x0=x0)
     state = ops.smooth_boundary_concentration(state, kit)
     state = ops.update_fictitious(state, kit)
 
@@ -128,9 +136,11 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
     """
     f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     rows0 = jnp.zeros((max_steps, 5), f64)
+    # trace-time gate: with the knob off the carry and graph are unchanged
+    extrap = bool(kit.cfg.implicit_extrapolate_x0)
 
     def cond(c):
-        _, t, k, dissolved, _, _, _ = c
+        t, k, dissolved = c[1], c[2], c[3]
         at_output = (k > 0) & (((total_steps0 + k) % output_every) == 0)
         # launch_cap bounds ONE device execution (the TPU relay kills
         # executions past ~2 min); the host loop re-launches to finish
@@ -139,8 +149,11 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
                 & jnp.logical_not(dissolved) & jnp.logical_not(at_output))
 
     def body(c):
-        state, t, k, _, max_res, rows, n_rows = c
-        state, dt, n_below, res, diag = _implicit_inner_core(state, op, kit)
+        state, t, k, _, max_res, rows, n_rows = c[:7]
+        C_prev = c[7] if extrap else None
+        C_pre = state.C
+        state, dt, n_below, res, diag = _implicit_inner_core(
+            state, op, kit, C_prev)
         t = t + dt.astype(f64)
         k = k + 1
         dissolved = n_below >= batch
@@ -150,12 +163,16 @@ def implicit_inner_chunk(state: State, op, kit, t0, total_steps0, T_final,
         rows = jax.lax.cond(write, lambda r: r.at[n_rows].set(row),
                             lambda r: r, rows)
         n_rows = n_rows + write.astype(jnp.int32)
-        return (state, t, k, dissolved, max_res, rows, n_rows)
+        out = (state, t, k, dissolved, max_res, rows, n_rows)
+        return out + ((C_pre,) if extrap else ())
 
     init = (state, jnp.asarray(t0, f64), jnp.asarray(0, jnp.int32),
             jnp.asarray(False), jnp.asarray(0.0, f64), rows0,
             jnp.asarray(0, jnp.int32))
-    return jax.lax.while_loop(cond, body, init)
+    if extrap:
+        # seed C_prev = C so the first step's extrapolation is a no-op
+        init = init + (state.C,)
+    return jax.lax.while_loop(cond, body, init)[:7]
 
 
 # Micro-op phases of the fused coupled loop (coupled_cycles_chunk)
@@ -261,8 +278,9 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
         }
 
     def _one_inner(c):
+        C_pre = c["state"].C
         state, dt, n_below, res, diag = _implicit_inner_core(
-            c["state"], c["op"], kit)
+            c["state"], c["op"], kit, c.get("C_prev"))
         t = c["t"] + dt.astype(f64)
         steps = c["steps"] + 1
         inner_k = c["inner_k"] + 1
@@ -274,8 +292,9 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
         rows = jax.lax.cond(write, lambda r: r.at[c["n_rows"]].set(row),
                             lambda r: r, c["rows"])
         inner_done = dissolved | (inner_k >= max_inner) | (t >= T_final)
+        extra = {"C_prev": C_pre} if "C_prev" in c else {}
         return {
-            **c, "state": state, "t": t, "steps": steps,
+            **c, **extra, "state": state, "t": t, "steps": steps,
             "inner_k": inner_k, "rows": rows,
             "n_rows": c["n_rows"] + write.astype(jnp.int32),
             "max_res": max_res,
@@ -350,6 +369,12 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
         "exit_output": jnp.asarray(False),
         "exit_flow": jnp.asarray(False),
     }
+    if kit.cfg.implicit_extrapolate_x0:
+        # Krylov-saving GMRES start (see _implicit_inner_core). Seeded
+        # with the entry C: the first step of each launch extrapolates
+        # from itself (a no-op guess) — at 200-step launches the loss is
+        # negligible and the carry needs no resume plumbing.
+        init["C_prev"] = state.C
     return jax.lax.while_loop(cond, body, init)
 
 
@@ -601,6 +626,13 @@ class CoupledSolver:
                                              jnp.int32),
                     cycle_cap=jnp.asarray(ckpt_cap, jnp.int32))
                 n_cyc = int(out["cycles"])  # fences the chunk
+                if self._prof:
+                    # per-launch wall attribution (host-side only): where
+                    # the run's dominant phase actually spends its time
+                    print(f"  [launch] {time.time() - t_ph:.2f}s: "
+                          f"{int(out['steps'])} steps, "
+                          f"{int(out['flow_iters'])} flow iters, "
+                          f"t={float(out['t']):.1f}s", flush=True)
                 self._phase("coupled_chunk", t_ph)
                 state = out["state"]
                 fused_op = out["op"]

@@ -232,9 +232,10 @@ def implicit_step(state: State, op: ImplicitOperator, kit: Kit, dt,
         # unreachable target (~200 matvecs/step at 1M nodes). Solve to the
         # floor and let the f64-residual refinement passes close the rest.
         inner_tol = max(tol, 1e-4)
-    if kit.jdtype != jnp.float64:
+    if kit.jdtype != jnp.float64 and restart == 50:
         # shorter cycles keep the f32 Krylov basis well-conditioned
-        restart = min(restart, 25)
+        # (adjusts the default only — an explicit caller value wins)
+        restart = 25
     dt = jnp.asarray(dt, kit.jdtype)
     C_old = state.C
 

@@ -490,7 +490,7 @@ def matvec_M(op: ImplicitOperatorU, kit: UKit, x):
 
 def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
                   tol: float | None = None, restart: int = 50,
-                  maxiter: int = 200):
+                  maxiter: int = 200, x0=None):
     """(I - dt*M) with identity BC rows and IDW constraint rows for
     FICTITIOUS nodes (pd_ard_implicit.cpp:371-429, 500-535).
 
@@ -540,7 +540,11 @@ def implicit_step(state: State, op: ImplicitOperatorU, kit: UKit, dt,
     flat = gmres_basis_ok(kit, C_old.size)
 
     b = jnp.where(op.fict, 0.0, C_old)
-    x, (res, _cycles) = gmres(A, b, C_old, tol=inner_tol, restart=restart,
+    # optional Krylov-saving initial guess (see ops/ard_implicit): clamped
+    # to the physical range on unknown rows, C_old elsewhere
+    x0 = C_old if x0 is None else jnp.where(
+        op.unknown, jnp.clip(x0, 0.0, cfg.C_solid_init), C_old)
+    x, (res, _cycles) = gmres(A, b, x0, tol=inner_tol, restart=restart,
                               maxiter=maxiter, M=precond, flat_kernels=flat)
 
     if refine:
