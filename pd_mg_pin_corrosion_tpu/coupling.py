@@ -37,7 +37,7 @@ from .dispatch import ops_for
 from .fields import State
 from .grid import FLUID, SOLID_MG
 from .io_vtk import VTKWriter
-from .solvers import _solve_steady_segment, solve_steady
+from .solvers import FLOW_SEGMENT_ITERS, _solve_steady_segment, solve_steady
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +181,8 @@ _PH_INNER = 1         # one implicit corrosion step (op valid)
 _PH_PHASE_CHANGE = 2  # dissolution remask pending (cycle end)
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "max_inner", "flow_cap"))
+@partial(jax.jit, static_argnames=("max_cycles", "max_inner", "flow_cap",
+                                   "flow_cap_init"))
 def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
                          batch, diag_every, need_flow0,
                          max_cycles: int, max_inner: int, flow_cap: int,
@@ -192,7 +193,11 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
                          output_every=jnp.asarray(2**30, jnp.int32),
                          flow_stride=jnp.asarray(2**30, jnp.int32),
                          flow_solves0=jnp.asarray(0, jnp.int32),
-                         cycle_cap=jnp.asarray(2**30, jnp.int32)):
+                         cycle_cap=jnp.asarray(2**30, jnp.int32),
+                         flow_cap_init: int | None = None,
+                         f_it0=jnp.asarray(0, jnp.int32),
+                         f_eps0=jnp.asarray(0.0),
+                         f_dt0=jnp.asarray(0.0)):
     """Up to ``max_cycles`` FULL coupling cycles fused in ONE device
     execution — the "dissolve-and-continue" loop (round-3 roadmap #1),
     restructured (round 4) as a resumable MICRO-OP state machine so a
@@ -241,41 +246,86 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
     rows0 = jnp.zeros((max_cycles * max_inner, 5), f64)
     eps0 = jnp.asarray(0.0, kit.jdtype)
 
-    def flow_resolve(st):
-        dt0 = ops.compute_dt_ns(st, kit)
-        carry = (st, jnp.asarray(1, jnp.int32),
-                 jnp.asarray(1.0, kit.jdtype), dt0,
-                 jnp.asarray(False), jnp.asarray(False))
-        st, it, eps, _, conv, div = _solve_steady_segment(
-            carry, jnp.asarray(flow_cap, jnp.int32), kit)
-        st = ops.update_fictitious(st, kit)  # coupling.cpp:139
-        return st, it - 1, eps.astype(kit.jdtype), div
-
-    def no_flow(st):
-        return st, jnp.asarray(0, jnp.int32), eps0, jnp.asarray(False)
+    # flow solves run in FLOW_SEGMENT_ITERS sub-segments, ONE per
+    # cycle_start micro-op, with (f_it, f_eps, f_dt) carried across
+    # micro-ops AND launches — exactly solve_steady's host segmentation
+    # (same 2000-iteration boundaries, check cadence and dt-refresh
+    # points), so the solve sequence is bit-identical to the host path's.
+    # This makes the uncapped INITIAL solve fusable too (round 5: the
+    # standalone solve program's ~130 s load tax was ~10 % of a flagship
+    # run): the first solve of a run (global count 0) uses the
+    # flow_cap_init budget (cfg.flow_max_iters), re-solves keep flow_cap
+    # (the host path's flow_max_iters_resolve cap, one segment).
+    _SEG = FLOW_SEGMENT_ITERS
+    cap_init = flow_cap if flow_cap_init is None else flow_cap_init
 
     def cycle_start(c):
-        state, f_it, f_eps, f_div = jax.lax.cond(
-            c["need_flow"], flow_resolve, no_flow, c["state"])
-        vol_loss = volume_loss_fraction(state, kit)
-        new_op = ops.assemble(state, kit, vol_loss)
-        flow_solves = c["flow_solves"] + (f_it > 0).astype(jnp.int32)
-        # host path writes flow VTI when (count - 1) % stride == 0 after
-        # incrementing; assemble doesn't touch state, so exiting after it
-        # hands the host the identical post-solve snapshot state
-        gcount = flow_solves0 + flow_solves
-        exit_flow = (f_it > 0) & (((gcount - 1) % flow_stride) == 0)
-        return {
-            **c, "state": state, "op": new_op,
-            "phase": jnp.asarray(_PH_INNER, jnp.int32),
-            "inner_k": jnp.asarray(0, jnp.int32),
-            "need_flow": jnp.asarray(False),
-            "flow_iters": c["flow_iters"] + f_it,
-            "flow_solves": flow_solves,
-            "eps_last": jnp.where(f_it > 0, f_eps, c["eps_last"]),
-            "diverged": c["diverged"] | f_div,
-            "exit_flow": exit_flow,
-        }
+        def with_flow(c):
+            st = c["state"]
+            fresh = c["f_it"] == 0
+            it0 = jnp.where(fresh, jnp.asarray(1, jnp.int32), c["f_it"])
+            eps_c = jnp.where(fresh, jnp.asarray(1.0, kit.jdtype),
+                              c["f_eps"])
+            dt0 = jnp.where(fresh, ops.compute_dt_ns(st, kit), c["f_dt"])
+            is_initial = (flow_solves0 + c["flow_solves"]) == 0
+            cap_total = jnp.where(is_initial, cap_init, flow_cap)
+            seg_end = jnp.minimum(it0 + (_SEG - 1), cap_total)
+            carry = (st, it0, eps_c, dt0,
+                     jnp.asarray(False), jnp.asarray(False))
+            st2, it, eps, dt2, conv, div = _solve_steady_segment(
+                carry, seg_end, kit)
+            dflow = it - it0
+            done = conv | div | (it > cap_total)
+
+            def finish(_):
+                stf = ops.update_fictitious(st2, kit)  # coupling.cpp:139
+                vol_loss = volume_loss_fraction(stf, kit)
+                new_op = ops.assemble(stf, kit, vol_loss)
+                flow_solves = c["flow_solves"] + 1
+                # host path writes flow VTI when (count - 1) % stride == 0
+                # after incrementing; assemble doesn't touch state, so
+                # exiting after it hands the host the identical post-solve
+                # snapshot state
+                gcount = flow_solves0 + flow_solves
+                exit_flow = ((gcount - 1) % flow_stride) == 0
+                return {
+                    **c, "state": stf, "op": new_op,
+                    "phase": jnp.asarray(_PH_INNER, jnp.int32),
+                    "inner_k": jnp.asarray(0, jnp.int32),
+                    "need_flow": jnp.asarray(False),
+                    "flow_iters": c["flow_iters"] + dflow,
+                    "flow_solves": flow_solves,
+                    "eps_last": eps.astype(kit.jdtype),
+                    "diverged": c["diverged"] | div,
+                    "exit_flow": exit_flow,
+                    "f_it": jnp.asarray(0, jnp.int32),
+                    "f_eps": eps.astype(kit.jdtype), "f_dt": dt2,
+                }
+
+            def keep_going(_):
+                # segment done, solve not converged: stay in CYCLE_START;
+                # the outer cond exits the launch when the flow budget is
+                # spent and the host re-enters with the carried f_*
+                return {
+                    **c, "state": st2,
+                    "flow_iters": c["flow_iters"] + dflow,
+                    "f_it": it, "f_eps": eps.astype(kit.jdtype),
+                    "f_dt": dt2,
+                }
+
+            return jax.lax.cond(done, finish, keep_going, None)
+
+        def without_flow(c):
+            vol_loss = volume_loss_fraction(c["state"], kit)
+            new_op = ops.assemble(c["state"], kit, vol_loss)
+            return {
+                **c, "op": new_op,
+                "phase": jnp.asarray(_PH_INNER, jnp.int32),
+                "inner_k": jnp.asarray(0, jnp.int32),
+                "need_flow": jnp.asarray(False),
+            }
+
+        return jax.lax.cond(c["need_flow"], with_flow, without_flow, c)
 
     def _one_inner(c):
         C_pre = c["state"].C
@@ -368,6 +418,11 @@ def coupled_cycles_chunk(state: State, kit, op, t0, total_steps0, T_final,
         "any_solid": jnp.asarray(True),
         "exit_output": jnp.asarray(False),
         "exit_flow": jnp.asarray(False),
+        # in-progress segmented flow solve (0 = none), resumable across
+        # launches like (phase, inner_k)
+        "f_it": jnp.asarray(f_it0, jnp.int32),
+        "f_eps": jnp.asarray(f_eps0, kit.jdtype),
+        "f_dt": jnp.asarray(f_dt0, kit.jdtype),
     }
     if kit.cfg.implicit_extrapolate_x0:
         # Krylov-saving GMRES start (see _implicit_inner_core). Seeded
@@ -589,10 +644,24 @@ class CoupledSolver:
         fused_phase = 0   # micro-op resume point (carried across launches)
         fused_inner_k = 0
         fused_op = None   # operator carried across launch boundaries
+        fused_f_it = 0    # in-progress segmented flow solve (0 = none)
+        fused_f_eps = 0.0
+        fused_f_dt = 0.0
 
         while t_corr < cfg.T_final or fused_phase != 0:
-            if fused_cycles > 0 and cycle >= 1:
+            if fused_cycles > 0:
                 if fused_op is None:
+                    # cycle 1 runs fused too (round 5): the machine's
+                    # segmented flow solve handles the uncapped initial
+                    # solve across launches, so the standalone solve and
+                    # implicit-chunk programs (~220 s of load tax at 1M)
+                    # are never touched. Warm start stays host-side.
+                    from .dispatch import is_block
+                    if (cycle == 0 and cfg.flow_warm_start
+                            and self.total_dissolved == 0
+                            and (not cfg.use_amr or is_block(kit))):
+                        from .solvers import coarse_warm_start
+                        state, _ = coarse_warm_start(state, grid, kit, cfg)
                     # carry template for the first launch: a throwaway
                     # assemble (phase 0 rebuilds it on device before use)
                     fused_op = assemble_operator(
@@ -624,7 +693,10 @@ class CoupledSolver:
                     flow_stride=fused_flow_stride,
                     flow_solves0=jnp.asarray(self.flow_solve_count,
                                              jnp.int32),
-                    cycle_cap=jnp.asarray(ckpt_cap, jnp.int32))
+                    cycle_cap=jnp.asarray(ckpt_cap, jnp.int32),
+                    flow_cap_init=cfg.flow_max_iters,
+                    f_it0=fused_f_it, f_eps0=fused_f_eps,
+                    f_dt0=fused_f_dt)
                 n_cyc = int(out["cycles"])  # fences the chunk
                 if self._prof:
                     # per-launch wall attribution (host-side only): where
@@ -638,6 +710,9 @@ class CoupledSolver:
                 fused_op = out["op"]
                 fused_phase = int(out["phase"])
                 fused_inner_k = int(out["inner_k"])
+                fused_f_it = out["f_it"]    # device scalars: exact
+                fused_f_eps = out["f_eps"]  # round-trip, no host cast
+                fused_f_dt = out["f_dt"]
                 t_corr = float(out["t"])
                 cycle += n_cyc
                 k = int(out["steps"])
@@ -678,6 +753,7 @@ class CoupledSolver:
                 # fewer cycles than fused_cycles — a 1M-node checkpoint per
                 # launch would dominate IO)
                 if (cfg.checkpoint_every and n_cyc > 0 and fused_phase == 0
+                        and int(fused_f_it) == 0
                         and cycle - ckpt_cycle >= cfg.checkpoint_every):
                     ckpt_cycle = cycle
                     t_ph = time.time()
