@@ -695,8 +695,13 @@ class CoupledSolver:
                                              jnp.int32),
                     cycle_cap=jnp.asarray(ckpt_cap, jnp.int32),
                     flow_cap_init=cfg.flow_max_iters,
-                    f_it0=fused_f_it, f_eps0=fused_f_eps,
-                    f_dt0=fused_f_dt)
+                    # explicit dtypes: a python 0 here traces weak-typed,
+                    # a device scalar from the previous launch strong-typed
+                    # — two avals would compile the machine TWICE (~135 s
+                    # each cold at 1M)
+                    f_it0=jnp.asarray(fused_f_it, jnp.int32),
+                    f_eps0=jnp.asarray(fused_f_eps, kit.jdtype),
+                    f_dt0=jnp.asarray(fused_f_dt, kit.jdtype))
                 n_cyc = int(out["cycles"])  # fences the chunk
                 if self._prof:
                     # per-launch wall attribution (host-side only): where
