@@ -177,8 +177,12 @@ class Config:
     # (the implicit transport dominates), so the ~45 % iteration saving
     # nets only seconds there — the knob exists for flow-heavy workloads.
     # Also honored by the block-AMR backend (the coarse solve is uniform
-    # at dx*ratio either way); the AMR runs' initial solve is ~25 % of
-    # their wall (docs/ROADMAP.md round-4 #5), where this actually pays.
+    # at dx*ratio either way), where it is transformative: on the
+    # params_amr.cfg production geometry the cold initial solve is
+    # 104,200 iterations; flow_warm_start=2 replaces it with a cheap
+    # 49,800-iter uniform coarse solve + 9,300 fine iterations (11.2x
+    # fewer), same 1e-6 gate, fields rel-L2 3.7e-2
+    # (scripts/measure_warm_start.py config/params_amr.cfg, 2026-08-21).
     flow_warm_start: int = 0
     # Exit the implicit inner loop when this many solid nodes are below
     # C_thresh (1 = the reference's exit-at-first-dissolution,
